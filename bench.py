@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Driver benchmark: one JSON line on the headline config.
+
+Headline: causal self-attn fwd, B1 H32 N8192 D512 bf16 (BASELINE.json
+config #2 shape) on the attached TPU chip; value = FFPA TFLOPS;
+vs_baseline = speedup over the XLA-compiled fp32-accumulated SDPA composite.
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from ffpa_attn_tpu.cli._bench import make_case, run_case
+
+    case = make_case("self-attn", 1, 32, 8192, 512)
+    row = run_case(case, jnp.bfloat16, "fwd", warmup=2, iters=10)
+    print(
+        json.dumps(
+            {
+                "metric": "ffpa_fwd_tflops_d512_n8192_bf16",
+                "value": round(row["ffpa_tflops"], 2),
+                "unit": "TFLOPS",
+                "vs_baseline": round(row["speedup"], 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Runtime environment flags for FFPA-TPU.
+
+TPU-native analog of the reference's runtime env-var tier (reference:
+src/ffpa_attn/env.py and the runtime vars listed in SURVEY.md §5). Unlike
+the reference there is no build-time codegen tier — Pallas kernels are
+JIT-compiled by Mosaic — so this module only exposes runtime switches.
+
+All flags are read lazily so tests can monkeypatch ``os.environ``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+def _env_bool(name: str, default: bool = False) -> bool:
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    try:
+        return int(val)
+    except ValueError:
+        return default
+
+
+@dataclass(frozen=True)
+class EnvSnapshot:
+    """A frozen snapshot of all runtime flags (for logging / debugging)."""
+
+    allow_small_d: bool
+    skip_persistent_tuned_config: bool
+    tuned_config_dir: str | None
+    autotune_max_configs: int
+    interpret: bool
+    vmem_limit_bytes: int
+    min_seqlen_q: int
+    min_seqlen_kv: int
+
+
+class ENV:
+    """Namespace of runtime env flags (reference analog: env.py `class ENV`)."""
+
+    @staticmethod
+    def allow_small_d() -> bool:
+        """Allow the Pallas path for D<=256 (reference: FFPA_*_ALLOW_SMALL_D,
+        functional.py:54-79)."""
+        return _env_bool("FFPA_TPU_ALLOW_SMALL_D", False)
+
+    @staticmethod
+    def skip_persistent_tuned_config() -> bool:
+        """Kill-switch for the persistent tuned-config store (reference:
+        FFPA_SKIP_PERSISIT_TUNED_CONFIG, _persistent_autotune.py:354-359)."""
+        return _env_bool("FFPA_TPU_SKIP_TUNED_CONFIG", False)
+
+    @staticmethod
+    def tuned_config_dir() -> str | None:
+        """Override directory for tuned-config JSONs (reference:
+        FFPA_TUNED_CONFIG_DIR)."""
+        return os.environ.get("FFPA_TPU_TUNED_CONFIG_DIR")
+
+    @staticmethod
+    def autotune_max_configs() -> int:
+        """Cap on configs timed per autotune case (reference:
+        FFPA_AUTOTUNE_MAX_CONFIGS)."""
+        return _env_int("FFPA_TPU_AUTOTUNE_MAX_CONFIGS", 0)
+
+    @staticmethod
+    def force_interpret() -> bool:
+        """Force Pallas interpret mode (useful on CPU test hosts)."""
+        return _env_bool("FFPA_TPU_INTERPRET", False)
+
+    @staticmethod
+    def vmem_limit_bytes() -> int:
+        """Per-kernel VMEM budget used by the block-shape cost model.
+
+        The analog of the reference's per-arch SMEM capacity probing
+        (cute/_utils.py:247-304). ~16 MiB/core less headroom for Mosaic.
+        """
+        return _env_int("FFPA_TPU_VMEM_LIMIT_BYTES", 100 * 1024 * 1024)
+
+    @staticmethod
+    def min_seqlen_q() -> int:
+        """Below this Nq (but >= decode threshold) the dense Pallas kernel
+        loses to XLA SDPA; fall back (reference analog functional.py:591-639)."""
+        return _env_int("FFPA_TPU_MIN_SEQLEN_Q", 128)
+
+    @staticmethod
+    def min_seqlen_kv() -> int:
+        return _env_int("FFPA_TPU_MIN_SEQLEN_KV", 128)
+
+    @staticmethod
+    def snapshot() -> EnvSnapshot:
+        return EnvSnapshot(
+            allow_small_d=ENV.allow_small_d(),
+            skip_persistent_tuned_config=ENV.skip_persistent_tuned_config(),
+            tuned_config_dir=ENV.tuned_config_dir(),
+            autotune_max_configs=ENV.autotune_max_configs(),
+            interpret=ENV.force_interpret(),
+            vmem_limit_bytes=ENV.vmem_limit_bytes(),
+            min_seqlen_q=ENV.min_seqlen_q(),
+            min_seqlen_kv=ENV.min_seqlen_kv(),
+        )

@@ -1,0 +1,230 @@
+"""Public API for FFPA-TPU attention.
+
+``ffpa_attn_func`` mirrors the reference SDPA-compatible entry (reference:
+src/ffpa_attn/ffpa_attn_interface.py:71-181): same signature, same error
+taxonomy, same fallback policy — but the "native SDPA" target is
+``jax.nn.dot_product_attention`` / the fp32 XLA composite, and the kernel
+tier is Pallas/Mosaic.
+
+``ffpa_attn_varlen_func`` mirrors the FlashAttention-style packed-THD varlen
+entry (ffpa_attn_interface.py:184-271), implemented TPU-natively with
+segment-ID masking (ops/varlen.py) instead of cu_seqlens pointer chasing.
+
+``patch_dot_product_attention`` is the analog of the reference's
+``F.scaled_dot_product_attention = ffpa_attn_func`` monkey-patch pattern
+(reference README.md:45-51) for ``jax.nn.dot_product_attention``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .functional import Backend, FFPAAttnMeta
+from .logger import init_logger
+from .ops.attention import apply_attention
+
+logger = init_logger(__name__)
+
+
+def _sdpa_fallback(
+    query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa,
+    dropout_seed=0,
+):
+    """XLA-composite SDPA used for fallback shapes.
+
+    The analog of the reference's direct ``torch._C._nn.scaled_dot_product_attention``
+    call (ffpa_attn_interface.py:157-168: bypasses any monkey-patch to avoid
+    recursion — here we inline the composite rather than calling
+    ``jax.nn.dot_product_attention`` for exactly the same reason).
+    """
+    from .functional import normalize_attn_mask
+    from .ops.reference import expand_kv_heads, reference_attention
+
+    b, hq, nq, _ = query.shape
+    nkv = key.shape[2]
+    bias = None
+    if attn_mask is not None:
+        bias = normalize_attn_mask(attn_mask, b, hq, nq, nkv)
+    k = expand_kv_heads(key, hq) if enable_gqa else key
+    v = expand_kv_heads(value, hq) if enable_gqa else value
+    if k.shape[1] != hq:
+        raise ValueError(
+            f"num_heads mismatch (q={hq}, kv={k.shape[1]}) requires "
+            "enable_gqa=True"
+        )
+    return reference_attention(
+        query,
+        k,
+        v,
+        bias,
+        is_causal=is_causal,
+        scale=scale,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+    )
+
+
+def ffpa_attn_func(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    enable_gqa: bool = False,
+    **kwargs,
+) -> jnp.ndarray:
+    """FFPA: exact attention for large head dims (D > 256) on TPU.
+
+    Signature aligned with ``torch.nn.functional.scaled_dot_product_attention``
+    and the reference ``ffpa_attn_func`` (ffpa_attn_interface.py:71-181).
+
+    Args:
+      query: ``[B, Nh_q, Nq, D]`` fp16/bf16.
+      key: ``[B, Nh_kv, Nkv, D]``; ``Nh_q % Nh_kv == 0`` under GQA.
+      value: ``[B, Nh_kv, Nkv, Dv]``.
+      attn_mask: bool (True participates) or additive float mask
+        broadcastable to ``[B, Nh_q, Nq, Nkv]``.
+      dropout_p: attention dropout in [0, 1). Deterministic hash RNG; pass
+        ``dropout_seed=<int or traced scalar>`` in kwargs to vary it.
+      is_causal: tail-aligned causal (row m attends cols <= m + Nkv - Nq;
+        requires Nkv >= Nq).
+      scale: defaults to 1/sqrt(D).
+      enable_gqa: opt into GQA/MQA semantics.
+      **kwargs: ``backend`` / ``forward_backend`` / ``backward_backend``
+        (str or Backend instance) and ``dropout_seed``. Anything else raises
+        TypeError.
+
+    Returns:
+      ``[B, Nh_q, Nq, Dv]`` attention output in input dtype.
+    """
+    dropout_seed = kwargs.pop("dropout_seed", 0)
+    meta = FFPAAttnMeta.from_kwargs(**kwargs)
+    if meta.fallback(query, key, attn_mask, dropout_p):
+        return _sdpa_fallback(
+            query,
+            key,
+            value,
+            attn_mask,
+            dropout_p,
+            is_causal,
+            scale,
+            enable_gqa,
+            dropout_seed,
+        )
+    ameta, query, key, value, bias = meta.normalize(
+        query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa
+    )
+    return apply_attention(ameta, query, key, value, bias, dropout_seed)
+
+
+def ffpa_attn_varlen_func(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cu_seqlens_q: jnp.ndarray,
+    cu_seqlens_k: Optional[jnp.ndarray],
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    *,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    enable_gqa: bool = False,
+    return_lse: bool = False,
+    **kwargs,
+):
+    """Variable-length packed-THD attention (FlashAttention-style surface).
+
+    See ops/varlen.py for the TPU-native segment-ID design. Mirrors
+    reference ffpa_attn_varlen_func (ffpa_attn_interface.py:184-271)
+    including the consolidated NotImplementedError for unsupported kwargs.
+    """
+    from .ops.varlen import ffpa_varlen_attention
+
+    return ffpa_varlen_attention(
+        q,
+        k,
+        v,
+        cu_seqlens_q,
+        cu_seqlens_k,
+        max_seqlen_q,
+        max_seqlen_k,
+        dropout_p=dropout_p,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        enable_gqa=enable_gqa,
+        return_lse=return_lse,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monkey-patch analog
+# ---------------------------------------------------------------------------
+
+_ORIG_DPA = None
+
+
+def _dpa_compatible_ffpa(query, key, value, bias=None, mask=None, *args, **kwargs):
+    """Adapter exposing ffpa_attn_func under the
+    ``jax.nn.dot_product_attention`` signature (B, N, H, D layout)."""
+    is_causal = kwargs.pop("is_causal", False)
+    scale = kwargs.pop("scale", None)
+    # jax.nn.dot_product_attention uses [B, N, H, D]; FFPA uses [B, H, N, D].
+    q = jnp.swapaxes(query, 1, 2)
+    k = jnp.swapaxes(key, 1, 2)
+    v = jnp.swapaxes(value, 1, 2)
+    attn_mask = None
+    if bias is not None and mask is not None:
+        from .functional import normalize_attn_mask
+
+        b_, hq = q.shape[0], q.shape[1]
+        nq, nkv = q.shape[2], k.shape[2]
+        attn_mask = normalize_attn_mask(bias, b_, hq, nq, nkv) + normalize_attn_mask(
+            mask, b_, hq, nq, nkv
+        )
+    elif bias is not None:
+        attn_mask = bias
+    elif mask is not None:
+        attn_mask = mask
+    enable_gqa = q.shape[1] != k.shape[1]
+    out = ffpa_attn_func(
+        q,
+        k,
+        v,
+        attn_mask=attn_mask,
+        is_causal=is_causal,
+        scale=scale,
+        enable_gqa=enable_gqa,
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
+def patch_dot_product_attention() -> None:
+    """One-line integration: route ``jax.nn.dot_product_attention`` through
+    FFPA with auto-fallback (reference README.md:45-51 monkey-patch)."""
+    global _ORIG_DPA
+    if _ORIG_DPA is None:
+        _ORIG_DPA = jax.nn.dot_product_attention
+    jax.nn.dot_product_attention = _dpa_compatible_ffpa
+    logger.info_once("jax.nn.dot_product_attention patched with FFPA-TPU")
+
+
+def unpatch_dot_product_attention() -> None:
+    global _ORIG_DPA
+    if _ORIG_DPA is not None:
+        jax.nn.dot_product_attention = _ORIG_DPA
+        _ORIG_DPA = None
+
+
+__all__ = [
+    "ffpa_attn_func",
+    "ffpa_attn_varlen_func",
+    "patch_dot_product_attention",
+    "unpatch_dot_product_attention",
+]

@@ -1,0 +1,24 @@
+"""Model layer: a large-head-dim transformer LM built on FFPA attention.
+
+The reference validates E2E with Gemma4-31B layers at D=512 under FSDP
+(reference README.md:122); this package provides the equivalent flagship:
+an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
+"""
+
+from .transformer import (
+    ModelConfig,
+    init_params,
+    forward,
+    loss_fn,
+    make_train_step,
+    shard_params,
+)
+
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "forward",
+    "loss_fn",
+    "make_train_step",
+    "shard_params",
+]

@@ -1,0 +1,188 @@
+"""FFPA attention core op: jit/grad/vmap-composable custom_vjp.
+
+The analog of the reference autograd boundary ``_FFPAAttnFunc``
+(reference: src/ffpa_attn/functional.py:845-1104) — but where the reference
+needs ``torch.library`` ops plus ``@torch._dynamo.disable`` to survive
+torch.compile, JAX gets this for free: the op is a ``jax.custom_vjp`` whose
+forward saves (q, k, v, bias, o, lse, seed) residuals (functional.py:954-965)
+and whose backward routes by backend:
+
+* ``PallasBackend`` -> the split-launch Pallas kernels (flash_bwd.py)
+* ``SDPABackend``  -> fp32 recompute via ``jax.vjp`` of the reference
+  einsum chain (the analog of aten efficient-attention backward,
+  reference aten/_efficient_bwd.py:50)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..functional import AttentionMeta, PallasBackend, SDPABackend
+from .config import BlockConfig
+from .flash_bwd import flash_attention_backward
+from .flash_fwd import flash_attention_forward
+from .reference import expand_kv_heads, reduce_q_heads, reference_attention
+
+
+@dataclass(frozen=True)
+class StaticArgs:
+    """Hashable static kernel parameters for custom_vjp nondiff_argnums."""
+
+    scale: float
+    is_causal: bool
+    dropout_p: float
+    fwd_config: Optional[BlockConfig]
+    bwd_config: Optional[BlockConfig]
+    backward_is_sdpa: bool
+    grad_kv_storage_dtype: Optional[str]
+    grad_q_storage_dtype: Optional[str]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
+    o, _ = flash_attention_forward(
+        q,
+        k,
+        v,
+        bias,
+        scale=static.scale,
+        is_causal=static.is_causal,
+        dropout_p=static.dropout_p,
+        dropout_seed=seed,
+        config=static.fwd_config,
+    )
+    return o
+
+
+def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
+    o, lse = flash_attention_forward(
+        q,
+        k,
+        v,
+        bias,
+        scale=static.scale,
+        is_causal=static.is_causal,
+        dropout_p=static.dropout_p,
+        dropout_seed=seed,
+        config=static.fwd_config,
+    )
+    return o, (q, k, v, bias, o, lse, seed)
+
+
+def _core_bwd(static: StaticArgs, residuals, do):
+    q, k, v, bias, o, lse, seed = residuals
+    if static.backward_is_sdpa:
+        # fp32 recompute path: numerically the reference oracle's own vjp.
+        # jax.vjp differentiates through expand_kv_heads, so dk/dv come back
+        # already group-reduced to [B, Hkv, Nkv, D].
+        hq = q.shape[1]
+
+        def _ref(q_, k_, v_, bias_):
+            return reference_attention(
+                q_,
+                expand_kv_heads(k_, hq),
+                expand_kv_heads(v_, hq),
+                bias_,
+                is_causal=static.is_causal,
+                scale=static.scale,
+                dropout_p=static.dropout_p,
+                dropout_seed=seed,
+            )
+
+        _, vjp = jax.vjp(_ref, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(do)
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
+    else:
+        dq, dk, dv, dbias = flash_attention_backward(
+            q,
+            k,
+            v,
+            bias,
+            o,
+            lse,
+            do,
+            scale=static.scale,
+            is_causal=static.is_causal,
+            dropout_p=static.dropout_p,
+            dropout_seed=seed,
+            config=static.bwd_config,
+            grad_kv_storage_dtype=static.grad_kv_storage_dtype,
+            grad_q_storage_dtype=static.grad_q_storage_dtype,
+        )
+    return dq, dk, dv, dbias, None
+
+
+ffpa_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def apply_attention(
+    meta: AttentionMeta,
+    q,
+    k,
+    v,
+    bias,
+    dropout_seed=0,
+):
+    """Dispatch a normalized attention call to the core op.
+
+    Mirrors `_FFPAAttnFunc.forward` routing (functional.py:863-967) minus
+    the GPU backend zoo: decode shapes route to the split-KV kernel, the
+    rest to the dense Pallas kernel via custom_vjp.
+    """
+    fwd_be = meta.forward_backend
+    bwd_be = meta.backward_backend
+
+    nq = q.shape[2]
+    if nq == 1 and meta.dropout_p == 0.0:
+        # Decode fast path (forward only shape; grads rarely needed but
+        # custom_vjp still covers it via the dense kernels).
+        from .decode import decode_attention_supported, decode_attention
+
+        if decode_attention_supported(q, k):
+            return decode_attention(
+                q,
+                k,
+                v,
+                bias,
+                scale=meta.scale,
+                is_causal=meta.is_causal,
+            )
+
+    fwd_config = None
+    if isinstance(fwd_be, PallasBackend):
+        if fwd_be.block_q is not None or fwd_be.block_kv is not None:
+            base = BlockConfig()
+            fwd_config = BlockConfig(
+                block_q=fwd_be.block_q or base.block_q,
+                block_kv=fwd_be.block_kv or base.block_kv,
+            )
+    bwd_config = None
+    grad_kv_dtype = None
+    grad_q_dtype = None
+    if isinstance(bwd_be, PallasBackend):
+        if bwd_be.block_kv_dkdv is not None or bwd_be.block_q_dq is not None:
+            base = BlockConfig()
+            bwd_config = BlockConfig(
+                block_kv_dkdv=bwd_be.block_kv_dkdv or base.block_kv_dkdv,
+                block_q_dq=bwd_be.block_q_dq or base.block_q_dq,
+            )
+        grad_kv_dtype = bwd_be.grad_kv_storage_dtype
+        grad_q_dtype = bwd_be.grad_q_storage_dtype
+
+    static = StaticArgs(
+        scale=meta.scale,
+        is_causal=meta.is_causal,
+        dropout_p=meta.dropout_p,
+        fwd_config=fwd_config,
+        bwd_config=bwd_config,
+        backward_is_sdpa=isinstance(bwd_be, SDPABackend),
+        grad_kv_storage_dtype=grad_kv_dtype,
+        grad_q_storage_dtype=grad_q_dtype,
+    )
+    return ffpa_attention_core(static, q, k, v, bias, dropout_seed)

@@ -1,0 +1,153 @@
+"""Kernel block-shape configuration + VMEM cost model.
+
+The analog of the reference's tile-constant tables and ``can_implement``
+SMEM-capacity probing (reference: cute/_utils.py:21-66, 247-304). On TPU the
+scarce resource is VMEM (~16 MiB usable per core on v5e after Mosaic
+overheads); the cost model below must never let autotune emit a config
+Mosaic rejects (SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+LANE = 128  # TPU lane width; minimum useful block dim.
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    """Block shapes for the FFPA kernels.
+
+    Forward: grid cell owns (block_q x D) of Q and streams (block_kv x D)
+    K/V tiles. Backward dK/dV: cell owns a KV tile and streams Q tiles;
+    backward dQ: cell owns a Q tile and streams KV tiles — the reference's
+    split-launch design (SURVEY.md §7 step 3), never the shared-pid scheme.
+    """
+
+    block_q: int = 256
+    block_kv: int = 512
+    # Backward tiles (reference keeps separate fwd/bwd tile tables,
+    # cute/_utils.py:21-55).
+    block_q_dkdv: int = 256
+    block_kv_dkdv: int = 256
+    block_q_dq: int = 256
+    block_kv_dq: int = 256
+
+    def __post_init__(self):
+        for name in (
+            "block_q",
+            "block_kv",
+            "block_q_dkdv",
+            "block_kv_dkdv",
+            "block_q_dq",
+            "block_kv_dq",
+        ):
+            v = getattr(self, name)
+            if v <= 0 or v % LANE != 0:
+                raise ValueError(
+                    f"{name} must be a positive multiple of {LANE}, got {v}"
+                )
+
+    def clamp(self, nq: int, nkv: int) -> "BlockConfig":
+        """Shrink blocks to the (lane-rounded) problem size."""
+
+        def fit(block: int, n: int) -> int:
+            return min(block, max(LANE, _round_up(n, LANE)))
+
+        return replace(
+            self,
+            block_q=fit(self.block_q, nq),
+            block_kv=fit(self.block_kv, nkv),
+            block_q_dkdv=fit(self.block_q_dkdv, nq),
+            block_kv_dkdv=fit(self.block_kv_dkdv, nkv),
+            block_q_dq=fit(self.block_q_dq, nq),
+            block_kv_dq=fit(self.block_kv_dq, nkv),
+        )
+
+
+def fwd_vmem_bytes(
+    cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
+) -> int:
+    """Estimated VMEM for one forward grid cell (double-buffered streams).
+
+    Q tile + 2x(K tile + V tile) + scores fp32 + m/l/acc scratch + output.
+    """
+    bq, bkv = cfg.block_q, cfg.block_kv
+    q_tile = bq * d * itemsize
+    kv_tiles = 2 * (bkv * d + bkv * dv) * itemsize
+    scores = bq * bkv * 4
+    scratch = bq * LANE * 4 * 2 + bq * dv * 4  # m, l, acc
+    out = bq * dv * itemsize
+    bias = 2 * bq * bkv * 4 if has_bias else 0
+    return q_tile + kv_tiles + scores + scratch + out + bias
+
+
+def bwd_dkdv_vmem_bytes(
+    cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
+) -> int:
+    bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+    kv_tiles = (bkv * d + bkv * dv) * itemsize
+    q_streams = 2 * (2 * bq * d * itemsize + bq * dv * itemsize)  # q, do (+lse/delta small)
+    scores = 2 * bq * bkv * 4  # s and dp
+    scratch = bkv * d * 4 + bkv * dv * 4  # dk, dv accumulators
+    bias = 2 * bq * bkv * 4 if has_bias else 0
+    return kv_tiles + q_streams + scores + scratch + bias
+
+
+def bwd_dq_vmem_bytes(
+    cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
+) -> int:
+    bq, bkv = cfg.block_q_dq, cfg.block_kv_dq
+    q_tiles = (2 * bq * d + bq * dv) * itemsize  # q, do
+    kv_streams = 2 * (bkv * d + bkv * dv) * itemsize
+    scores = 2 * bq * bkv * 4
+    scratch = bq * d * 4  # dq accumulator
+    bias = 2 * bq * bkv * 4 if has_bias else 0
+    return q_tiles + kv_streams + scores + scratch + bias
+
+
+def default_config(
+    d: int,
+    dv: int,
+    nq: int,
+    nkv: int,
+    itemsize: int = 2,
+    has_bias: bool = False,
+    vmem_limit: Optional[int] = None,
+) -> BlockConfig:
+    """Pick a safe default block config for the problem shape.
+
+    Heuristic re-derivation of the reference's default
+    ``{BM:128, BN:64, BHD:64}`` (triton/_ffpa_fwd.py:971-995) for MXU
+    128x128 tiles: larger D leaves less VMEM for blocks, so block sizes step
+    down as D grows — the TPU analog of the M8N1<->M4N2 register-pressure
+    dispatch (BASELINE.md M4N2 table).
+    """
+    from ..env import ENV
+
+    limit = vmem_limit if vmem_limit is not None else ENV.vmem_limit_bytes()
+    if d <= 384:
+        cfg = BlockConfig(block_q=512, block_kv=512)
+    elif d <= 768:
+        cfg = BlockConfig(block_q=256, block_kv=512)
+    else:
+        cfg = BlockConfig(block_q=256, block_kv=256)
+    cfg = cfg.clamp(nq, nkv)
+    # Shrink until the cost model fits the budget.
+    while fwd_vmem_bytes(cfg, d, dv, itemsize, has_bias) > limit and (
+        cfg.block_q > LANE or cfg.block_kv > LANE
+    ):
+        if cfg.block_kv >= cfg.block_q and cfg.block_kv > LANE:
+            cfg = replace(cfg, block_kv=cfg.block_kv // 2)
+        else:
+            cfg = replace(cfg, block_q=cfg.block_q // 2)
+    return cfg

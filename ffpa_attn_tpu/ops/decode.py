@@ -1,0 +1,257 @@
+"""Decode (tiny-Nq) attention kernel.
+
+TPU-native re-derivation of the reference split-KV decode path (reference:
+triton/_ffpa_fwd.py:498-831 — stage-1 per-KV-chunk partials + stage-2 LSE
+merge, selected by a GPU-SM occupancy heuristic at :214-284).
+
+On TPU the design premise changes: a v5e chip has a single TensorCore, so
+splitting KV across "SMs" buys nothing — decode throughput is HBM-bandwidth
+bound on streaming K/V. The speed-of-light decode kernel is therefore a
+*single* pass: grid ``(B, Hq, Nkv/block_kv)`` with the KV axis innermost
+(Mosaic double-buffers the K/V DMA), a 16-row padded Q tile (minimum bf16
+sublane tile), and fp32 online-softmax accumulators. The reference's
+stage-2 LSE-merge formula survives in this codebase where it is actually
+needed on TPU: the cross-chip ring-attention combine (parallel/ring.py).
+
+Backward for decode shapes delegates to the dense split-launch kernels
+(padded Q tile) — gradients at Nq<=8 are a training corner case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import LANE, cdiv
+from .flash_fwd import _pad_dim, use_interpret
+from .reference import DEFAULT_MASK_VALUE
+
+_DECODE_MAX_NQ = 8
+_DECODE_Q_TILE = 16  # minimum bf16 sublane tile
+
+
+def decode_attention_supported(q, k) -> bool:
+    return q.shape[2] <= _DECODE_MAX_NQ
+
+
+def _decode_kernel(
+    q_ref,  # (1, 1, 16, D)
+    k_ref,  # (1, 1, bkv, D)
+    v_ref,  # (1, 1, bkv, Dv)
+    bias_ref,  # optional (1, 1, 16|1, bkv)
+    o_ref,  # (1, 1, 16, Dv)
+    lse_ref,  # (1, 1, 16, LANE) f32, lanes replicated
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale,
+    causal,
+    causal_offset,
+    true_nkv,
+    kv_padded,
+    num_kv_blocks,
+    has_bias,
+):
+    j = pl.program_id(2)
+    bq = q_ref.shape[2]
+    bkv = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        should_run = j * bkv <= bq - 1 + causal_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        if has_bias:
+            s = s + jnp.broadcast_to(bias_ref[0, 0].astype(jnp.float32), s.shape)
+        rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
+        if causal:
+            s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+        if kv_padded:
+            s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_tile = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]
+        pv = lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-38))
+
+
+def _decode_forward(
+    q,
+    k,
+    v,
+    bias,
+    *,
+    scale,
+    is_causal,
+    block_kv: int = 1024,
+    interpret: Optional[bool] = None,
+):
+    b, hq, nq, d = q.shape
+    _, hkv, nkv, _ = k.shape
+    dv_dim = v.shape[-1]
+    group = hq // hkv
+
+    bq = _DECODE_Q_TILE
+    q_p = _pad_dim(q, 2, bq)
+    bkv = min(block_kv, max(LANE, cdiv(nkv, LANE) * LANE))
+    nkv_pad = cdiv(nkv, bkv) * bkv
+    k_p = _pad_dim(k, 2, nkv_pad)
+    v_p = _pad_dim(v, 2, nkv_pad)
+    num_kv_blocks = nkv_pad // bkv
+
+    # Tail-aligned causal offset uses the padded Q tile: rows beyond nq-1
+    # are padding, so compute the offset w.r.t. true nq but the mask rows
+    # use padded indices; padded rows see at least one col (harmless).
+    causal_offset = nkv - nq
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, j: (b_, h, 0, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, g=group: (b_, h // g, j, 0)),
+    ]
+    inputs = [q_p, k_p, v_p]
+    has_bias = bias is not None
+    if has_bias:
+        bias_block = [1, 1, 1, 1]
+        if bias.shape[2] != 1:
+            bias = _pad_dim(bias, 2, bq)
+            bias_block[2] = bq
+        bias = _pad_dim(bias, 3, nkv_pad)
+        bias_block[3] = bkv
+
+        def bias_index(b_, h, j, shape=bias.shape):
+            return (
+                b_ if shape[0] != 1 else 0,
+                h if shape[1] != 1 else 0,
+                0,
+                j,
+            )
+
+        in_specs.append(pl.BlockSpec(tuple(bias_block), bias_index))
+        inputs.append(bias)
+
+    kernel = _decode_kernel if has_bias else _decode_no_bias(_decode_kernel)
+    kernel = functools.partial(
+        kernel,
+        scale=scale,
+        causal=is_causal,
+        causal_offset=causal_offset,
+        true_nkv=nkv,
+        kv_padded=nkv_pad != nkv,
+        num_kv_blocks=num_kv_blocks,
+        has_bias=has_bias,
+    )
+
+    o, lse_wide = pl.pallas_call(
+        kernel,
+        grid=(b, hq, num_kv_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, j: (b_, h, 0, 0)),
+            pl.BlockSpec((1, 1, bq, LANE), lambda b_, h, j: (b_, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, bq, dv_dim), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, bq, LANE), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(*inputs)
+
+    o = o[:, :, :nq]
+    lse = lse_wide[:, :, :nq, 0]
+    return o, lse
+
+
+def _decode_no_bias(kernel):
+    @functools.wraps(kernel)
+    def wrapped(q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, **kw):
+        return kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc, **kw)
+
+    return wrapped
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _decode_core(scale, is_causal, q, k, v, bias):
+    o, _ = _decode_forward(q, k, v, bias, scale=scale, is_causal=is_causal)
+    return o
+
+
+def _decode_core_fwd(scale, is_causal, q, k, v, bias):
+    o, lse = _decode_forward(q, k, v, bias, scale=scale, is_causal=is_causal)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _decode_core_bwd(scale, is_causal, residuals, do):
+    from .flash_bwd import flash_attention_backward
+
+    q, k, v, bias, o, lse = residuals
+    dq, dk, dv, dbias = flash_attention_backward(
+        q,
+        k,
+        v,
+        bias,
+        o,
+        lse,
+        do,
+        scale=scale,
+        is_causal=is_causal,
+        dropout_p=0.0,
+    )
+    return dq, dk, dv, dbias
+
+
+_decode_core.defvjp(_decode_core_fwd, _decode_core_bwd)
+
+
+def decode_attention(q, k, v, bias, *, scale, is_causal):
+    return _decode_core(scale, is_causal, q, k, v, bias)

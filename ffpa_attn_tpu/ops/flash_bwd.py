@@ -1,0 +1,625 @@
+"""Pallas TPU backward kernels for FFPA exact attention.
+
+TPU-first re-design of the reference backward family. The reference's
+shared-pid single-kernel scheme is documented (by the reference itself) as
+its main perf flaw (reference: triton/_ffpa_bwd.py:34-69), and its best
+generation is the split-launch / SM90 design: a *preprocess* pass, a
+*dK/dV* kernel where each cell owns a KV tile and streams Q tiles, and a
+*dQ* kernel where each cell owns a Q tile and streams KV tiles (reference:
+cute/_dkdv_d512_sm90.py, cute/_dq_d512_sm90.py, SURVEY.md §7 step 3). We
+adopt exactly that three-launch structure:
+
+1. preprocess: ``delta = rowsum(dO * O)`` — left to XLA (a perfectly fused
+   elementwise+reduce; no kernel needed on TPU).
+2. dK/dV kernel: grid ``(B, Hq, Nkv/block_kv, Nq/block_q)``; fp32 dK/dV
+   accumulators live in VMEM scratch with ONE store per tile (no
+   load-add-store round trips, no atomics — the flaw the reference calls
+   out at triton/_ffpa_bwd.py:34-69).
+3. dQ kernel: grid ``(B, Hq, Nq/block_q, Nkv/block_kv)``; fp32 dQ
+   accumulator in VMEM scratch; optionally also emits the additive-bias
+   gradient dS tiles (reference supports attn-mask gradients,
+   triton/_ffpa_bwd.py:117-177).
+
+Softmax is reconstructed from the saved natural-log LSE:
+``p = exp(s - lse)`` (already normalized), so no separate (m, l) residuals
+are needed. Dropout is replayed bit-identically from the layout-independent
+hash (``rng.py``) — the analog of Philox replay
+(triton/_ffpa_bwd.py:196-221). GQA backward uses the expand/reduce scheme
+(dk/dv computed per Q head, group-summed outside —
+triton/_ffpa_bwd.py:2936-2990).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import BlockConfig, cdiv
+from .flash_fwd import _pad_dim, use_interpret
+from .reference import DEFAULT_MASK_VALUE
+from .rng import dropout_keep_mask
+
+
+def _recompute_ds(
+    q,
+    k,
+    v,
+    do,
+    lse_row,  # (bq, 1) f32
+    delta_row,  # (bq, 1) f32
+    *,
+    scale,
+    causal,
+    causal_offset,
+    true_nkv,
+    kv_padded,
+    true_nq,
+    q_padded,
+    dropout_p,
+    seed,
+    b_idx,
+    h_idx,
+    row_start,
+    col_start,
+    bias=None,
+):
+    """Shared tile math: returns (p_dropped, ds) both (bq, bkv) fp32.
+
+    ``p_dropped`` is the dropout-applied normalized probability used for dV;
+    ``ds`` is the pre-scale score gradient (also the bias gradient).
+    """
+    bq = q.shape[0]
+    bkv = k.shape[0]
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * jnp.float32(scale)
+    if bias is not None:
+        s = s + jnp.broadcast_to(bias.astype(jnp.float32), s.shape)
+
+    rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + row_start
+    cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + col_start
+    if causal:
+        s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+    if kv_padded:
+        s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
+
+    p = jnp.exp(s - lse_row)  # normalized probabilities (bq, bkv)
+    if q_padded:
+        # Padded Q rows have garbage lse; zero their contribution.
+        p = jnp.where(rows < true_nq, p, 0.0)
+
+    # dP = dO @ V^T
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    if dropout_p > 0.0:
+        keep = dropout_keep_mask(seed, b_idx, h_idx, rows, cols, dropout_p)
+        inv = jnp.float32(1.0 / (1.0 - dropout_p))
+        p_dropped = jnp.where(keep, p, 0.0) * inv
+        dp_eff = jnp.where(keep, dp, 0.0) * inv
+    else:
+        p_dropped = p
+        dp_eff = dp
+
+    ds = p * (dp_eff - delta_row)
+    return p_dropped, ds
+
+
+# ---------------------------------------------------------------------------
+# dK/dV kernel: cell owns a KV tile, streams Q tiles.
+# ---------------------------------------------------------------------------
+
+
+def _dkdv_kernel(
+    seed_ref,
+    q_ref,  # (1, 1, bq, D)
+    k_ref,  # (1, 1, bkv, D)
+    v_ref,  # (1, 1, bkv, Dv)
+    do_ref,  # (1, 1, bq, Dv)
+    lse_ref,  # (1, 1, 1, bq) — [B, H, 1, Nq] layout
+    delta_ref,  # (1, 1, bq)
+    bias_ref,  # optional
+    dk_ref,  # (1, 1, bkv, D) out
+    dv_ref,  # (1, 1, bkv, Dv) out
+    dk_scr,  # VMEM (bkv, D) f32
+    dv_scr,  # VMEM (bkv, Dv) f32
+    *,
+    scale,
+    causal,
+    causal_offset,
+    true_nkv,
+    kv_padded,
+    true_nq,
+    q_padded,
+    dropout_p,
+    num_q_blocks,
+    has_bias,
+):
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    j = pl.program_id(2)  # kv tile owner
+    i = pl.program_id(3)  # streamed q tile
+
+    bq = q_ref.shape[2]
+    bkv = k_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0, 0][:, None]
+        delta_row = delta_ref[0, 0, 0][:, None]
+        bias = bias_ref[0, 0] if has_bias else None
+
+        p_dropped, ds = _recompute_ds(
+            q,
+            k,
+            v,
+            do,
+            lse_row,
+            delta_row,
+            scale=scale,
+            causal=causal,
+            causal_offset=causal_offset,
+            true_nkv=true_nkv,
+            kv_padded=kv_padded,
+            true_nq=true_nq,
+            q_padded=q_padded,
+            dropout_p=dropout_p,
+            seed=seed_ref[0, 0],
+            b_idx=b_idx,
+            h_idx=h_idx,
+            row_start=i * bq,
+            col_start=j * bkv,
+            bias=bias,
+        )
+
+        # dV += P_drop^T @ dO   — (bkv, bq) @ (bq, Dv)
+        dv_scr[...] += lax.dot_general(
+            p_dropped.astype(do.dtype),
+            do,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK += scale * dS^T @ Q
+        dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dQ kernel: cell owns a Q tile, streams KV tiles. Optionally emits dBias.
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    seed_ref,
+    q_ref,  # (1, 1, bq, D)
+    k_ref,  # (1, 1, bkv, D)
+    v_ref,  # (1, 1, bkv, Dv)
+    do_ref,  # (1, 1, bq, Dv)
+    lse_ref,
+    delta_ref,
+    bias_ref,  # optional
+    dq_ref,  # (1, 1, bq, D) out
+    dbias_ref,  # optional (1, 1, bq, bkv) out
+    dq_scr,  # VMEM (bq, D) f32
+    *,
+    scale,
+    causal,
+    causal_offset,
+    true_nkv,
+    kv_padded,
+    true_nq,
+    q_padded,
+    dropout_p,
+    num_kv_blocks,
+    has_bias,
+    emit_dbias,
+):
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    i = pl.program_id(2)  # q tile owner
+    j = pl.program_id(3)  # streamed kv tile
+
+    bq = q_ref.shape[2]
+    bkv = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0, 0][:, None]
+        delta_row = delta_ref[0, 0, 0][:, None]
+        bias = bias_ref[0, 0] if has_bias else None
+
+        _, ds = _recompute_ds(
+            q,
+            k,
+            v,
+            do,
+            lse_row,
+            delta_row,
+            scale=scale,
+            causal=causal,
+            causal_offset=causal_offset,
+            true_nkv=true_nkv,
+            kv_padded=kv_padded,
+            true_nq=true_nq,
+            q_padded=q_padded,
+            dropout_p=dropout_p,
+            seed=seed_ref[0, 0],
+            b_idx=b_idx,
+            h_idx=h_idx,
+            row_start=i * bq,
+            col_start=j * bkv,
+            bias=bias,
+        )
+
+        # dQ += scale * dS @ K
+        dq_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds.astype(k.dtype),
+            k,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if emit_dbias:
+            dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+
+    if emit_dbias and causal:
+        # Skipped causal tiles must still define their dbias block.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Launchers
+# ---------------------------------------------------------------------------
+
+
+def _grad_dtype(storage: Optional[str], default_dtype):
+    if storage is None:
+        return default_dtype
+    return {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32}[storage]
+
+
+def flash_attention_backward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    o: jnp.ndarray,
+    lse: jnp.ndarray,
+    do: jnp.ndarray,
+    *,
+    scale: float,
+    is_causal: bool,
+    dropout_p: float = 0.0,
+    dropout_seed=0,
+    config: Optional[BlockConfig] = None,
+    grad_kv_storage_dtype: Optional[str] = None,
+    grad_q_storage_dtype: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Three-launch backward. Returns (dq, dk, dv, dbias_or_None).
+
+    ``k``/``v`` keep their [B, Hkv, Nkv, D] layout; GQA is handled by
+    computing per-Q-head dk/dv and group-summing (expand/reduce,
+    reference triton/_ffpa_bwd.py:2936-2990).
+    """
+    b, hq, nq, d = q.shape
+    _, hkv, nkv, _ = k.shape
+    dv_dim = v.shape[-1]
+    group = hq // hkv
+
+    if config is None:
+        from .dispatch import pick_backward_config
+
+        config = pick_backward_config(
+            d=d, dv=dv_dim, nq=nq, nkv=nkv, dtype=q.dtype,
+            causal=is_causal, has_bias=bias is not None,
+        )
+    config = config.clamp(nq, nkv)
+
+    interpret = use_interpret() if interpret is None else interpret
+    seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+
+    # Preprocess: delta = rowsum(dO * O) — XLA-fused (reference launch 1,
+    # triton/_ffpa_bwd.py:2275-2322).
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    causal_offset = nkv - nq
+
+    # ---- dK/dV launch ----
+    bq, bkv = config.block_q_dkdv, config.block_kv_dkdv
+    nq_pad = cdiv(nq, bq) * bq
+    nkv_pad = cdiv(nkv, bkv) * bkv
+    q_p = _pad_dim(q, 2, nq_pad)
+    do_p = _pad_dim(do, 2, nq_pad)
+    lse_p = _pad_dim(lse, 2, nq_pad)
+    delta_p = _pad_dim(delta, 2, nq_pad)
+    k_p = _pad_dim(k, 2, nkv_pad)
+    v_p = _pad_dim(v, 2, nkv_pad)
+
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+
+    has_bias = bias is not None
+    bias_dkdv, bias_block_dkdv, bias_map_dkdv = _bias_spec(
+        bias, bq, bkv, nq_pad, nkv_pad, kv_major=True
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, j, i: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, j, i: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, i)),
+        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, i)),
+    ]
+    inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(bias_block_dkdv, bias_map_dkdv))
+        inputs.append(bias_dkdv)
+
+    dkdv_kernel = functools.partial(
+        _adapt_dkdv(_dkdv_kernel, has_bias),
+        scale=scale,
+        causal=is_causal,
+        causal_offset=causal_offset,
+        true_nkv=nkv,
+        kv_padded=nkv_pad != nkv,
+        true_nq=nq,
+        q_padded=nq_pad != nq,
+        dropout_p=float(dropout_p),
+        num_q_blocks=num_q_blocks,
+        has_bias=has_bias,
+    )
+
+    dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)
+    dk_e, dv_e = pl.pallas_call(
+        dkdv_kernel,
+        grid=(b, hq, num_kv_blocks, num_q_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i: (b_, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i: (b_, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, nkv_pad, d), dk_dtype),
+            jax.ShapeDtypeStruct((b, hq, nkv_pad, dv_dim), dk_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if nkv_pad != nkv:
+        dk_e = dk_e[:, :, :nkv]
+        dv_e = dv_e[:, :, :nkv]
+    # GQA group-reduce back to KV heads + cast to input dtypes.
+    if group > 1:
+        dk = dk_e.reshape(b, hkv, group, nkv, d).astype(jnp.float32).sum(axis=2)
+        dv = dv_e.reshape(b, hkv, group, nkv, dv_dim).astype(jnp.float32).sum(axis=2)
+    else:
+        dk, dv = dk_e, dv_e
+    dk = dk.astype(_grad_dtype(grad_kv_storage_dtype, k.dtype))
+    dv = dv.astype(_grad_dtype(grad_kv_storage_dtype, v.dtype))
+
+    # ---- dQ launch ----
+    bq, bkv = config.block_q_dq, config.block_kv_dq
+    nq_pad = cdiv(nq, bq) * bq
+    nkv_pad = cdiv(nkv, bkv) * bkv
+    q_p = _pad_dim(q, 2, nq_pad)
+    do_p = _pad_dim(do, 2, nq_pad)
+    lse_p = _pad_dim(lse, 2, nq_pad)
+    delta_p = _pad_dim(delta, 2, nq_pad)
+    k_p = _pad_dim(k, 2, nkv_pad)
+    v_p = _pad_dim(v, 2, nkv_pad)
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+
+    bias_dq, bias_block_dq, bias_map_dq = _bias_spec(
+        bias, bq, bkv, nq_pad, nkv_pad, kv_major=False
+    )
+    emit_dbias = has_bias
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
+        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
+    ]
+    inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(bias_block_dq, bias_map_dq))
+        inputs.append(bias_dq)
+
+    dq_kernel = functools.partial(
+        _adapt_dq(_dq_kernel, has_bias, emit_dbias),
+        scale=scale,
+        causal=is_causal,
+        causal_offset=causal_offset,
+        true_nkv=nkv,
+        kv_padded=nkv_pad != nkv,
+        true_nq=nq,
+        q_padded=nq_pad != nq,
+        dropout_p=float(dropout_p),
+        num_kv_blocks=num_kv_blocks,
+        has_bias=has_bias,
+        emit_dbias=emit_dbias,
+    )
+
+    out_specs = [pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0))]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (b, hq, nq_pad, d), _grad_dtype(grad_q_storage_dtype, q.dtype)
+        )
+    ]
+    if emit_dbias:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, bkv), lambda b_, h, i, j: (b_, h, i, j))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), jnp.float32)
+        )
+
+    result = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, num_q_blocks, num_kv_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if emit_dbias:
+        dq, dbias_full = result
+    else:
+        (dq,) = result if isinstance(result, (list, tuple)) else (result,)
+        dbias_full = None
+
+    if dq.shape[2] != nq:
+        dq = dq[:, :, :nq]
+
+    dbias = None
+    if dbias_full is not None:
+        dbias_full = dbias_full[:, :, :nq, :nkv]
+        # Reduce to the compact broadcast bias shape (reference sum_to_size,
+        # aten/_efficient_bwd.py:185-186).
+        axes = tuple(
+            ax for ax, sz in enumerate(bias.shape) if sz == 1
+        )
+        dbias = (
+            dbias_full.sum(axis=axes, keepdims=True) if axes else dbias_full
+        ).astype(bias.dtype)
+
+    return dq, dk, dv, dbias
+
+
+def _bias_spec(bias, bq, bkv, nq_pad, nkv_pad, kv_major: bool):
+    """Build (padded_bias, block_shape, index_map) for broadcast-compact bias.
+
+    Bias dims are always (B|1, H|1, Nq|1, Nkv|1). ``kv_major=True`` means
+    the grid's 3rd dim walks KV tiles and the 4th walks Q tiles (the dK/dV
+    grid); otherwise the dQ/forward ordering (q-major).
+    """
+    if bias is None:
+        return None, None, None
+    block = [1, 1, 1, 1]
+    if bias.shape[2] != 1:
+        bias = _pad_dim(bias, 2, nq_pad)
+        block[2] = bq
+    if bias.shape[3] != 1:
+        bias = _pad_dim(bias, 3, nkv_pad)
+        block[3] = bkv
+    shape = bias.shape
+
+    def index_map(b_, h, x, y, shape=shape, kv_major=kv_major):
+        i, j = (y, x) if kv_major else (x, y)
+        return (
+            b_ if shape[0] != 1 else 0,
+            h if shape[1] != 1 else 0,
+            i if shape[2] != 1 else 0,
+            j if shape[3] != 1 else 0,
+        )
+
+    return bias, tuple(block), index_map
+
+
+def _adapt_dkdv(kernel, has_bias: bool):
+    """Map the actual pallas ref list to the full _dkdv_kernel signature."""
+
+    @functools.wraps(kernel)
+    def wrapped(*refs, **kw):
+        refs = list(refs)
+        pos = 7
+        bias_ref = refs[pos] if has_bias else None
+        if has_bias:
+            pos += 1
+        dk_ref, dv_ref, dk_scr, dv_scr = refs[pos : pos + 4]
+        return kernel(
+            *refs[:7], bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, **kw
+        )
+
+    return wrapped
+
+
+def _adapt_dq(kernel, has_bias: bool, emit_dbias: bool):
+    """Map the actual pallas ref list to the full _dq_kernel signature."""
+
+    @functools.wraps(kernel)
+    def wrapped(*refs, **kw):
+        refs = list(refs)
+        pos = 7
+        bias_ref = refs[pos] if has_bias else None
+        if has_bias:
+            pos += 1
+        dq_ref = refs[pos]
+        pos += 1
+        dbias_ref = refs[pos] if emit_dbias else None
+        if emit_dbias:
+            pos += 1
+        dq_scr = refs[pos]
+        return kernel(
+            *refs[:7], bias_ref, dq_ref, dbias_ref, dq_scr, **kw
+        )
+
+    return wrapped

@@ -1,0 +1,328 @@
+"""Pallas TPU forward kernel for FFPA large-head-dim exact attention.
+
+TPU-first re-design of the reference forward family (reference:
+src/ffpa_attn/triton/_ffpa_fwd.py:302-495 and cute/_fwd_generic_sm80.py).
+Structure:
+
+* grid ``(B, Hq, Nq/block_q, Nkv/block_kv)`` — one grid cell owns a
+  (block_q x D) Q tile (kept VMEM-resident across the KV axis, which is the
+  innermost "arbitrary" dimension) and streams (block_kv x D) K/V tiles.
+  Pallas/Mosaic double-buffers the K/V HBM->VMEM copies across grid steps,
+  the TPU analog of the reference's cp.async multi-stage pipelines.
+* fp32 online softmax with running (m, l) statistics in VMEM scratch and a
+  fp32 (block_q x Dv) output accumulator — the reference's
+  ``o_accs[j] = alpha*o_accs[j] + P@V_j`` V-group scheme
+  (triton/_ffpa_fwd.py:474-482) collapses to a single fp32 accumulator
+  because VMEM (~16 MiB) comfortably holds block_q x 1024 fp32.
+* The reference's *Split-D* trick (stream K/V in head-dim chunks for O(1)
+  SRAM) maps to VMEM block shaping: D up to 1024 fits whole, so the tunable
+  surface is (block_q, block_kv) rather than d-chunks; the VMEM cost model
+  in ``config.py`` plays the role of ``can_implement``.
+* GQA in-kernel head mapping via the K/V BlockSpec index map
+  (``h // group``) — the analog of ``off_hkv = off_hq // group_size``
+  (triton/_ffpa_fwd.py:375-376).
+* Additive bias with broadcast dims kept compact via size-1 block dims —
+  the analog of stride-0 broadcast strides (triton/_ffpa_fwd.py:41-69).
+* Tail-aligned causal masking with whole-tile skipping.
+* Deterministic dropout via the layout-independent hash in ``rng.py``,
+  replayed bit-identically in backward.
+
+Outputs: ``o [B, Hq, Nq, Dv]`` in input dtype and natural-log
+``lse [B, Hq, Nq]`` fp32 (reference epilogue ``LSE = m + log(l)``,
+triton/_ffpa_fwd.py:487-495).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import LANE, BlockConfig, cdiv, fwd_vmem_bytes
+from .reference import DEFAULT_MASK_VALUE
+from .rng import dropout_keep_mask
+
+_INTERPRET_CACHE: Optional[bool] = None
+
+
+def use_interpret() -> bool:
+    """Interpret Pallas kernels off-TPU (CPU test meshes)."""
+    global _INTERPRET_CACHE
+    from ..env import ENV
+
+    if ENV.force_interpret():
+        return True
+    if _INTERPRET_CACHE is None:
+        try:
+            _INTERPRET_CACHE = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:
+            _INTERPRET_CACHE = True
+    return _INTERPRET_CACHE
+
+
+def _pad_dim(x: jnp.ndarray, axis: int, to: int) -> jnp.ndarray:
+    pad = to - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_kernel(
+    seed_ref,  # SMEM (1, 1) int32
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_kv, D)
+    v_ref,  # (1, 1, block_kv, Dv)
+    bias_ref,  # (1, 1, bq|1, bkv|1) or absent
+    o_ref,  # (1, 1, block_q, Dv)
+    lse_ref,  # (1, 1, 1, block_q) — LSE stored [B, H, 1, Nq] (legal block)
+    m_scr,  # VMEM (block_q, LANE) f32
+    l_scr,  # VMEM (block_q, LANE) f32
+    acc_scr,  # VMEM (block_q, Dv) f32
+    *,
+    scale: float,
+    causal: bool,
+    causal_offset: int,
+    true_nkv: int,
+    kv_padded: bool,
+    dropout_p: float,
+    num_kv_blocks: int,
+    has_bias: bool,
+):
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        # Skip tiles entirely above the (tail-aligned) diagonal: the first
+        # col of tile j must be <= the last row of tile i plus the offset.
+        should_run = j * block_kv <= (i + 1) * block_q - 1 + causal_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * jnp.float32(scale)
+
+        if has_bias:
+            bias = bias_ref[0, 0].astype(jnp.float32)
+            s = s + jnp.broadcast_to(bias, s.shape)
+
+        rows = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+        cols = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+        if causal:
+            s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+        if kv_padded:
+            s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]  # (block_q, LANE), lanes replicated
+        l_prev = l_scr[...]
+        m_tile = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_tile)  # broadcast to (block_q, LANE)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])  # (block_q, block_kv)
+        l_tile = jnp.sum(p, axis=1, keepdims=True)  # (block_q, 1)
+        l_next = alpha * l_prev + l_tile
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        if dropout_p > 0.0:
+            keep = dropout_keep_mask(
+                seed_ref[0, 0], b_idx, h_idx, rows, cols, dropout_p
+            )
+            p = jnp.where(keep, p, 0.0) * jnp.float32(1.0 / (1.0 - dropout_p))
+
+        v = v_ref[0, 0]
+        pv = lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = m_scr[:, 0] + jnp.log(jnp.maximum(l, 1e-38))[:, 0]
+
+
+def flash_attention_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    scale: float,
+    is_causal: bool,
+    dropout_p: float = 0.0,
+    dropout_seed=0,
+    config: Optional[BlockConfig] = None,
+    interpret: Optional[bool] = None,
+):
+    """Launch the forward kernel.
+
+    Args:
+      q: [B, Hq, Nq, D]; k: [B, Hkv, Nkv, D]; v: [B, Hkv, Nkv, Dv].
+      bias: fp32 additive bias, 4-D broadcast-compact, or None.
+      dropout_seed: int or traced int32 scalar.
+
+    Returns:
+      (o [B, Hq, Nq, Dv] in q.dtype, lse [B, Hq, Nq] fp32).
+    """
+    b, hq, nq, d = q.shape
+    _, hkv, nkv, _ = k.shape
+    dv = v.shape[-1]
+    group = hq // hkv
+
+    if config is None:
+        from .dispatch import pick_forward_config
+
+        config = pick_forward_config(
+            d=d, dv=dv, nq=nq, nkv=nkv, dtype=q.dtype,
+            causal=is_causal, has_bias=bias is not None,
+        )
+    config = config.clamp(nq, nkv)
+    bq, bkv = config.block_q, config.block_kv
+
+    nq_pad = cdiv(nq, bq) * bq
+    nkv_pad = cdiv(nkv, bkv) * bkv
+    q_p = _pad_dim(q, 2, nq_pad)
+    k_p = _pad_dim(k, 2, nkv_pad)
+    v_p = _pad_dim(v, 2, nkv_pad)
+
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+    grid = (b, hq, num_q_blocks, num_kv_blocks)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1) int32
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, bkv, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bkv, dv), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)
+        ),
+    ]
+    inputs = [
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1),
+        q_p,
+        k_p,
+        v_p,
+    ]
+    has_bias = bias is not None
+    if has_bias:
+        bias_block = [1, 1, 1, 1]
+        if bias.shape[2] != 1:
+            bias = _pad_dim(bias, 2, nq_pad)
+            bias_block[2] = bq
+        if bias.shape[3] != 1:
+            bias = _pad_dim(bias, 3, nkv_pad)
+            bias_block[3] = bkv
+
+        def bias_index(b_, h, i, j, shape=bias.shape):
+            return (
+                b_ if shape[0] != 1 else 0,
+                h if shape[1] != 1 else 0,
+                i if shape[2] != 1 else 0,
+                j if shape[3] != 1 else 0,
+            )
+
+        in_specs.append(pl.BlockSpec(tuple(bias_block), bias_index))
+        inputs.append(bias)
+
+    kernel = functools.partial(
+        _fwd_kernel if has_bias else _no_bias(_fwd_kernel),
+        scale=scale,
+        causal=is_causal,
+        causal_offset=nkv - nq,
+        true_nkv=nkv,
+        kv_padded=nkv_pad != nkv,
+        dropout_p=float(dropout_p),
+        num_kv_blocks=num_kv_blocks,
+        has_bias=has_bias,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, nq_pad, dv), q.dtype),
+        jax.ShapeDtypeStruct((b, hq, 1, nq_pad), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, dv), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bq, LANE), jnp.float32),
+        pltpu.VMEM((bq, LANE), jnp.float32),
+        pltpu.VMEM((bq, dv), jnp.float32),
+    ]
+
+    flops = 4 * b * hq * nq * nkv * (d + dv) // 2
+    if is_causal:
+        flops = flops // 2
+    itemsize = jnp.dtype(q.dtype).itemsize
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                q.size + k.size * group + v.size * group + q.size
+            )
+            * itemsize,
+            transcendentals=b * hq * nq * nkv,
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(*inputs)
+
+    lse = lse[:, :, 0, :]
+    if nq_pad != nq:
+        o = o[:, :, :nq]
+        lse = lse[:, :, :nq]
+    return o, lse
+
+
+def _no_bias(kernel):
+    """Adapt the kernel signature when no bias input is passed."""
+
+    @functools.wraps(kernel)
+    def wrapped(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, **kw):
+        return kernel(
+            seed_ref, q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc, **kw
+        )
+
+    return wrapped

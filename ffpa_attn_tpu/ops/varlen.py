@@ -1,0 +1,547 @@
+"""Variable-length (packed THD) attention — TPU-native segment-ID design.
+
+The reference varlen path (reference: src/ffpa_attn/cute/__init__.py:402-944,
+cute/utils/seqlen_info.py) walks ``cu_seqlens`` offsets inside the kernel
+via pointer arithmetic and a varlen tile scheduler. On TPU, data-dependent
+tile scheduling fights XLA's static-shape model, so we re-derive varlen the
+TPU way (the splash-attention SegmentIds pattern):
+
+* ``cu_seqlens`` are expanded (outside the kernel, in fused XLA ops) into
+  per-token int32 metadata: segment id, and a causal "rank" that encodes the
+  tail-aligned intra-segment position — so the kernel mask is three
+  vectorized compares, identical in forward and backward:
+  ``(q_seg == k_seg) & (k_pos <= q_rank  if causal)``.
+* The kernel is the same online-softmax structure as the dense one, grid
+  ``(Hq, Tq/block_q, Tk/block_kv)`` over head-major ``[H, T, D]`` layout.
+* Q metadata rides in ``(Tq, 1)`` sublane-oriented blocks and K metadata in
+  ``(1, Tk)`` lane-oriented blocks so the (block_q, block_kv) mask broadcast
+  needs no relayout.
+
+API mirrors ``ffpa_attn_varlen_func`` (reference
+ffpa_attn_interface.py:184-271): packed ``q [Tq, Hq, D]``, ``k/v [Tk, Hkv,
+D]``, int32 ``cu_seqlens_* [B+1]``, optional natural-log ``lse [Hq, Tq]``
+output, consolidated NotImplementedError for the FlashAttention extension
+kwargs (window_size, softcap, ...), and full forward+backward support (the
+reference's SM80 tier decomposes varlen backward into per-segment dense
+calls, cute/_ffpa_bwd_sm80.py:586-640; our masks make backward native).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import LANE, cdiv
+from .flash_fwd import _pad_dim, use_interpret
+from .reference import DEFAULT_MASK_VALUE
+
+_REJECTED_KWARGS = (
+    "window_size",
+    "softcap",
+    "sink",
+    "attention_mask",
+    "attn_mask",
+    "block_mask",
+    "score_mod",
+    "aux_tensors",
+    "seqused_k",
+    "block_table",
+    "num_splits",
+    "alibi_slopes",
+)
+
+_REJECT_DEFAULTS = {
+    "window_size": (-1, -1),
+    "num_splits": 1,
+}
+
+
+def _check_supported_options(kwargs: dict) -> None:
+    """Consolidated rejection (reference cute/__init__.py:65-125): every
+    offending option named in one NotImplementedError, no silent strip."""
+    offending = []
+    for name in _REJECTED_KWARGS:
+        if name in kwargs:
+            val = kwargs.pop(name)
+            default = _REJECT_DEFAULTS.get(name)
+            if val is not None and val != default:
+                offending.append(name)
+    if kwargs:
+        raise TypeError(
+            f"ffpa_attn_varlen_func() got unexpected keyword argument(s): "
+            f"{', '.join(sorted(kwargs))}"
+        )
+    if offending:
+        raise NotImplementedError(
+            "ffpa_attn_varlen_func does not support non-default values for: "
+            + ", ".join(sorted(offending))
+        )
+
+
+def _segment_metadata(cu_q, cu_k, tq: int, tk: int, tq_pad: int, tk_pad: int):
+    """Expand cu_seqlens into per-token (seg, rank/pos) int32 arrays.
+
+    q_rank[t] = intra-segment q position + (len_k - len_q) so the causal
+    mask is simply ``k_pos <= q_rank`` (tail-aligned per segment).
+    Padding tokens get segment id -1 (q) / -2 (k) so they never match.
+    """
+    cu_q = cu_q.astype(jnp.int32)
+    cu_k = cu_k.astype(jnp.int32)
+    tq_ids = jnp.arange(tq_pad, dtype=jnp.int32)
+    tk_ids = jnp.arange(tk_pad, dtype=jnp.int32)
+    q_seg = jnp.searchsorted(cu_q[1:], tq_ids, side="right").astype(jnp.int32)
+    k_seg = jnp.searchsorted(cu_k[1:], tk_ids, side="right").astype(jnp.int32)
+    q_start = cu_q[jnp.clip(q_seg, 0, cu_q.shape[0] - 2)]
+    k_start = cu_k[jnp.clip(k_seg, 0, cu_k.shape[0] - 2)]
+    len_q = cu_q[jnp.clip(q_seg + 1, 0, cu_q.shape[0] - 1)] - q_start
+    len_k_of_q = (
+        cu_k[jnp.clip(q_seg + 1, 0, cu_k.shape[0] - 1)]
+        - cu_k[jnp.clip(q_seg, 0, cu_k.shape[0] - 2)]
+    )
+    q_pos = tq_ids - q_start
+    q_rank = q_pos + (len_k_of_q - len_q)
+    k_pos = tk_ids - k_start
+    q_seg = jnp.where(tq_ids < tq, q_seg, -1)
+    k_seg = jnp.where(tk_ids < tk, k_seg, -2)
+    return q_seg, q_rank, k_seg, k_pos
+
+
+def _varlen_mask(q_seg, q_rank, k_seg, k_pos, causal: bool):
+    """(bq, bkv) keep-mask from (bq,1) q metadata and (1,bkv) k metadata."""
+    keep = q_seg == k_seg
+    if causal:
+        keep = jnp.logical_and(keep, k_pos <= q_rank)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _varlen_fwd_kernel(
+    q_ref,  # (1, bq, D)
+    k_ref,  # (1, bkv, D)
+    v_ref,  # (1, bkv, Dv)
+    qseg_ref,  # (bq, 1) i32
+    qrank_ref,  # (bq, 1) i32
+    kseg_ref,  # (1, bkv) i32
+    kpos_ref,  # (1, bkv) i32
+    o_ref,  # (1, bq, Dv)
+    lse_ref,  # (1, 1, bq)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale,
+    causal,
+    num_kv_blocks,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+
+    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
+    s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_tile = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_tile)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, 0:1])
+    p = jnp.where(keep, p, 0.0)  # fully-masked rows stay exactly zero
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    v = v_ref[0]
+    pv = lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(jnp.maximum(l, 1e-38))[:, 0]
+
+
+def _varlen_forward(
+    q_h,  # [Hq, Tq, D]
+    k_h,  # [Hkv, Tk, D]
+    v_h,  # [Hkv, Tk, Dv]
+    q_seg,
+    q_rank,
+    k_seg,
+    k_pos,
+    *,
+    scale,
+    causal,
+    block_q: int,
+    block_kv: int,
+    interpret: Optional[bool] = None,
+):
+    hq, tq_pad, d = q_h.shape
+    hkv, tk_pad, dv_dim = v_h.shape
+    group = hq // hkv
+    bq, bkv = block_q, block_kv
+    num_q_blocks = tq_pad // bq
+    num_kv_blocks = tk_pad // bkv
+
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _varlen_fwd_kernel,
+            scale=scale,
+            causal=causal,
+            num_kv_blocks=num_kv_blocks,
+        ),
+        grid=(hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda h, i, j, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, i, j, g=group: (h // g, j, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
+            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hq, tq_pad, dv_dim), q_h.dtype),
+            jax.ShapeDtypeStruct((hq, 1, tq_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(
+        q_h,
+        k_h,
+        v_h,
+        q_seg[:, None],
+        q_rank[:, None],
+        k_seg[None, :],
+        k_pos[None, :],
+    )
+    return o, lse[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (same split-launch structure as dense)
+# ---------------------------------------------------------------------------
+
+
+def _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, *, scale):
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+    p = jnp.where(keep, jnp.exp(s - lse_row), 0.0)
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_row)
+    return p, ds
+
+
+def _varlen_dkdv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    qseg_ref, qrank_ref, kseg_ref, kpos_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, causal, num_q_blocks,
+):
+    i = pl.program_id(2)  # streamed q tile
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0, 0][:, None]
+    delta_row = delta_ref[0, 0][:, None]
+    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
+    p, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+
+    dv_scr[...] += lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _varlen_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    qseg_ref, qrank_ref, kseg_ref, kpos_ref,
+    dq_ref, dq_scr,
+    *, scale, causal, num_kv_blocks,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse_row = lse_ref[0, 0][:, None]
+    delta_row = delta_ref[0, 0][:, None]
+    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
+    _, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+
+    dq_scr[...] += jnp.float32(scale) * lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _varlen_backward(
+    q_h, k_h, v_h, o_h, lse, do_h,
+    q_seg, q_rank, k_seg, k_pos,
+    *, scale, causal, block_q, block_kv, interpret=None,
+):
+    hq, tq_pad, d = q_h.shape
+    hkv, tk_pad, dv_dim = v_h.shape
+    group = hq // hkv
+    bq, bkv = block_q, block_kv
+    num_q_blocks = tq_pad // bq
+    num_kv_blocks = tk_pad // bkv
+    interpret = use_interpret() if interpret is None else interpret
+
+    delta = jnp.sum(do_h.astype(jnp.float32) * o_h.astype(jnp.float32), axis=-1)
+    lse_in = lse[:, None, :]
+    delta_in = delta[:, None, :]
+    meta = (q_seg[:, None], q_rank[:, None], k_seg[None, :], k_pos[None, :])
+
+    # dk/dv: grid (hq, kv blocks, q blocks)
+    dk_e, dv_e = pl.pallas_call(
+        functools.partial(
+            _varlen_dkdv_kernel, scale=scale, causal=causal,
+            num_q_blocks=num_q_blocks,
+        ),
+        grid=(hq, num_kv_blocks, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda h, j, i, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bq, dv_dim), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, j, i: (h, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda h, j, i: (h, 0, i)),
+            pl.BlockSpec((bq, 1), lambda h, j, i: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, j, i: (i, 0)),
+            pl.BlockSpec((1, bkv), lambda h, j, i: (0, j)),
+            pl.BlockSpec((1, bkv), lambda h, j, i: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i: (h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hq, tk_pad, d), q_h.dtype),
+            jax.ShapeDtypeStruct((hq, tk_pad, dv_dim), q_h.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+
+    if group > 1:
+        dk = dk_e.reshape(hkv, group, tk_pad, d).astype(jnp.float32).sum(axis=1)
+        dv = dv_e.reshape(hkv, group, tk_pad, dv_dim).astype(jnp.float32).sum(axis=1)
+        dk = dk.astype(k_h.dtype)
+        dv = dv.astype(v_h.dtype)
+    else:
+        dk, dv = dk_e, dv_e
+
+    # dq: grid (hq, q blocks, kv blocks)
+    dq = pl.pallas_call(
+        functools.partial(
+            _varlen_dq_kernel, scale=scale, causal=causal,
+            num_kv_blocks=num_kv_blocks,
+        ),
+        grid=(hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda h, i, j, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, i, j, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
+            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
+            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
+            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hq, tq_pad, d), q_h.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp + public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _varlen_core(scale, causal, block_q, block_kv, q_h, k_h, v_h, meta):
+    o, lse = _varlen_forward(
+        q_h, k_h, v_h, *meta, scale=scale, causal=causal,
+        block_q=block_q, block_kv=block_kv,
+    )
+    return o, lse
+
+
+def _varlen_core_fwd(scale, causal, block_q, block_kv, q_h, k_h, v_h, meta):
+    o, lse = _varlen_forward(
+        q_h, k_h, v_h, *meta, scale=scale, causal=causal,
+        block_q=block_q, block_kv=block_kv,
+    )
+    return (o, lse), (q_h, k_h, v_h, o, lse, meta)
+
+
+def _varlen_core_bwd(scale, causal, block_q, block_kv, residuals, grads):
+    q_h, k_h, v_h, o, lse, meta = residuals
+    do, _ = grads  # lse cotangent ignored (non-differentiable residual)
+    dq, dk, dv = _varlen_backward(
+        q_h, k_h, v_h, o, lse, do, *meta,
+        scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+    )
+    return dq, dk, dv, None
+
+
+_varlen_core.defvjp(_varlen_core_fwd, _varlen_core_bwd)
+
+
+def ffpa_varlen_attention(
+    q,
+    k,
+    v,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    *,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    enable_gqa: bool = False,
+    return_lse: bool = False,
+    block_q: int = 256,
+    block_kv: int = 256,
+    **kwargs,
+):
+    """Packed-THD varlen attention. See interface.ffpa_attn_varlen_func."""
+    _check_supported_options(dict(kwargs))
+    if dropout_p != 0.0:
+        raise NotImplementedError(
+            "ffpa_attn_varlen_func does not support dropout_p > 0"
+        )
+    if q.ndim != 3 or k.ndim != 3 or v.ndim != 3:
+        raise ValueError(
+            f"varlen inputs must be packed [T, H, D]; got q={q.shape}, "
+            f"k={k.shape}, v={v.shape}"
+        )
+    if q.dtype not in (jnp.float16, jnp.bfloat16):
+        raise TypeError(f"dtype must be fp16/bf16, got {q.dtype}")
+    if cu_seqlens_q.dtype != jnp.int32:
+        raise TypeError(
+            f"cu_seqlens_q must be int32, got {cu_seqlens_q.dtype}"
+        )
+    if cu_seqlens_k is None:
+        cu_seqlens_k = cu_seqlens_q
+    if cu_seqlens_k.dtype != jnp.int32:
+        raise TypeError(
+            f"cu_seqlens_k must be int32, got {cu_seqlens_k.dtype}"
+        )
+    tq, hq, d = q.shape
+    tk, hkv, dk_ = k.shape
+    if dk_ != d:
+        raise ValueError(f"q/k head_dim mismatch: {d} vs {dk_}")
+    if v.shape[0] != tk or v.shape[1] != hkv:
+        raise ValueError(
+            f"k/v shape mismatch: k={k.shape}, v={v.shape}"
+        )
+    if hq != hkv and not enable_gqa:
+        raise ValueError(
+            f"H_q ({hq}) != H_kv ({hkv}) requires enable_gqa=True"
+        )
+    if hq % hkv != 0:
+        raise ValueError(f"GQA requires H_q % H_kv == 0, got {hq} % {hkv}")
+    if softmax_scale is None:
+        softmax_scale = 1.0 / (d ** 0.5)
+
+    bq, bkv = block_q, block_kv
+    tq_pad = cdiv(max(tq, 1), bq) * bq
+    tk_pad = cdiv(max(tk, 1), bkv) * bkv
+
+    # Head-major layout for the kernel; pad T to block multiples.
+    q_h = _pad_dim(jnp.swapaxes(q, 0, 1), 1, tq_pad)
+    k_h = _pad_dim(jnp.swapaxes(k, 0, 1), 1, tk_pad)
+    v_h = _pad_dim(jnp.swapaxes(v, 0, 1), 1, tk_pad)
+
+    meta = _segment_metadata(cu_seqlens_q, cu_seqlens_k, tq, tk, tq_pad, tk_pad)
+
+    o_h, lse = _varlen_core(
+        float(softmax_scale), bool(causal), bq, bkv, q_h, k_h, v_h, meta
+    )
+    out = jnp.swapaxes(o_h[:, :tq], 0, 1)
+    if return_lse:
+        return out, lse[:, :tq]
+    return out

@@ -1,0 +1,17 @@
+"""Multi-chip parallelism: head-sharded TP + sequence-sharded ring attention.
+
+The reference is a single-GPU kernel library (SURVEY.md §2.8); this package
+supplies the TPU-native scaling tier required by BASELINE.json: shard_map
+wrappers whose collectives (ppermute / psum) compile onto ICI.
+"""
+
+from .mesh import make_mesh
+from .ring import ring_attention, ring_attention_sharded
+from .tp import head_parallel_attention
+
+__all__ = [
+    "make_mesh",
+    "ring_attention",
+    "ring_attention_sharded",
+    "head_parallel_attention",
+]

@@ -1,0 +1,155 @@
+"""Forward correctness vs the fp32 reference oracle.
+
+Mirrors the reference two-tier shape strategy (reference:
+tests/test_ffpa_fwd.py:30-45): CORRECTNESS_SHAPES cover representative
+small-D/large-D paths; DISPATCH_SHAPES are a wider smoke cross-product.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffpa_attn_tpu import ffpa_attn_func
+from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+from ffpa_attn_tpu.ops.reference import expand_kv_heads, reference_attention
+
+# (B, Hq, Hkv, Nq, Nkv, D)
+CORRECTNESS_SHAPES = [
+    (1, 2, 2, 256, 256, 320),
+    (1, 2, 2, 384, 384, 512),
+    (2, 2, 1, 256, 256, 640),  # GQA
+    (1, 2, 2, 128, 384, 512),  # cross-attn
+    (1, 2, 2, 250, 250, 320),  # non-aligned N
+]
+
+TOL = {jnp.float16: 1e-2, jnp.bfloat16: 5e-2}
+
+
+def _make_qkv(b, hq, hkv, nq, nkv, d, dtype, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, nq, d), dtype=dtype)
+    k = jax.random.normal(kk, (b, hkv, nkv, d), dtype=dtype)
+    v = jax.random.normal(kv, (b, hkv, nkv, d), dtype=dtype)
+    return q, k, v
+
+
+def _check(out, ref, dtype):
+    tol = TOL[dtype]
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        atol=tol,
+        rtol=tol,
+    )
+
+
+@pytest.mark.parametrize("shape", CORRECTNESS_SHAPES)
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16])
+def test_fwd_kernel_vs_reference(shape, causal, dtype):
+    b, hq, hkv, nq, nkv, d = shape
+    q, k, v = _make_qkv(b, hq, hkv, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=causal
+    )
+    ref, ref_lse = reference_attention(
+        q,
+        expand_kv_heads(k, hq),
+        expand_kv_heads(v, hq),
+        None,
+        is_causal=causal,
+        scale=scale,
+        return_lse=True,
+    )
+    _check(o, ref, dtype)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), atol=5e-3, rtol=5e-3
+    )
+
+
+@pytest.mark.parametrize("mask_kind", ["bool", "float", "key_only"])
+def test_fwd_attn_mask(mask_kind):
+    dtype = jnp.bfloat16
+    b, hq, hkv, nq, nkv, d = 1, 2, 2, 256, 256, 320
+    q, k, v = _make_qkv(b, hq, hkv, nq, nkv, d, dtype)
+    key = jax.random.PRNGKey(7)
+    if mask_kind == "bool":
+        mask = jax.random.bernoulli(key, 0.9, (b, hq, nq, nkv))
+    elif mask_kind == "float":
+        mask = jax.random.normal(key, (b, hq, nq, nkv), dtype=jnp.float32)
+    else:
+        mask = jax.random.normal(key, (1, 1, 1, nkv), dtype=jnp.float32)
+    out = ffpa_attn_func(q, k, v, attn_mask=mask)
+    from ffpa_attn_tpu.functional import normalize_attn_mask
+
+    bias = normalize_attn_mask(mask, b, hq, nq, nkv)
+    ref = reference_attention(q, k, v, bias, scale=1.0 / np.sqrt(d))
+    _check(out, ref, dtype)
+
+
+def test_fwd_dropout_matches_reference_hash():
+    dtype = jnp.bfloat16
+    b, hq, hkv, nq, nkv, d = 1, 2, 2, 256, 256, 320
+    q, k, v = _make_qkv(b, hq, hkv, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, _ = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=False, dropout_p=0.3,
+        dropout_seed=123,
+    )
+    ref = reference_attention(
+        q, k, v, None, scale=scale, dropout_p=0.3, dropout_seed=123
+    )
+    _check(o, ref, dtype)
+
+
+def test_public_api_fallback_small_d():
+    dtype = jnp.bfloat16
+    q, k, v = _make_qkv(1, 2, 2, 128, 128, 64, dtype)
+    out = ffpa_attn_func(q, k, v)
+    ref = reference_attention(q, k, v, None, scale=1.0 / np.sqrt(64))
+    _check(out, ref, dtype)
+
+
+def test_public_api_gqa():
+    dtype = jnp.bfloat16
+    q, k, v = _make_qkv(1, 4, 2, 256, 256, 320, dtype)
+    out = ffpa_attn_func(q, k, v, enable_gqa=True, is_causal=True)
+    ref = reference_attention(
+        q,
+        expand_kv_heads(k, 4),
+        expand_kv_heads(v, 4),
+        None,
+        is_causal=True,
+        scale=1.0 / np.sqrt(320),
+    )
+    _check(out, ref, dtype)
+
+
+def test_decode_nq1():
+    dtype = jnp.bfloat16
+    q, k, v = _make_qkv(1, 4, 4, 1, 1024, 512, dtype)
+    out = ffpa_attn_func(q, k, v)
+    ref = reference_attention(q, k, v, None, scale=1.0 / np.sqrt(512))
+    _check(out, ref, dtype)
+
+
+def test_error_taxonomy():
+    dtype = jnp.bfloat16
+    q, k, v = _make_qkv(1, 2, 2, 256, 256, 320, dtype)
+    with pytest.raises(TypeError):
+        ffpa_attn_func(q, k, v, bogus_kwarg=1)
+    with pytest.raises(ValueError):
+        ffpa_attn_func(q, k, v, dropout_p=1.5)
+    with pytest.raises(TypeError):
+        ffpa_attn_func(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    # causal requires Nkv >= Nq
+    q2, k2, v2 = _make_qkv(1, 2, 2, 256, 128, 320, dtype)
+    with pytest.raises(ValueError):
+        ffpa_attn_func(q2, k2, v2, is_causal=True)
+    # GQA without enable_gqa
+    q3, k3, v3 = _make_qkv(1, 4, 2, 256, 256, 320, dtype)
+    with pytest.raises(ValueError):
+        ffpa_attn_func(q3, k3, v3)
