@@ -1,0 +1,197 @@
+"""Autotune CLI: sweep the task grid, harvest best block configs, persist.
+
+Reference analog: ``python -m ffpa_attn.autotune`` (reference:
+src/ffpa_attn/autotune.py:72-1151): a TuneTask grid over
+D x (Nq, Nkv) x causal x dtype x direction, ``--full-tasks`` adding
+attn-mask / dropout / GQA variants, results merged (dedup by variant key)
+into the device-kind JSON. The Ray engine maps to a per-device multiprocess
+pool (autotune/engine.py) since TPU chips are per-process resources.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from ..logger import init_logger
+
+logger = init_logger(__name__)
+
+DEFAULT_HEADDIMS = (320, 512, 640, 768, 1024)
+DEFAULT_SEQLENS = (1024, 4096, 8192, 16384)
+
+
+@dataclass(frozen=True)
+class TuneTask:
+    """One autotune case (reference TuneTask, autotune.py:72)."""
+
+    direction: str  # 'fwd' | 'bwd'
+    d: int
+    nq: int
+    nkv: int
+    dtype: str
+    causal: bool
+    has_bias: bool = False
+    dropout: bool = False
+    gqa: bool = False
+    b: int = 1
+    h: int = 8
+
+
+def iter_tasks(args) -> list[TuneTask]:
+    tasks: list[TuneTask] = []
+    for direction in args.directions:
+        for dtype in args.dtypes:
+            for d in args.headdims:
+                for n in args.seqlens:
+                    # Prune shapes that exceed HBM (reference prunes <48GB
+                    # VRAM, autotune.py:138-144) — v5e has 16GB.
+                    qkv_bytes = 4 * args.B * args.H * n * d * 2
+                    if qkv_bytes > 8 * 1024**3:
+                        continue
+                    for causal in (False, True):
+                        tasks.append(
+                            TuneTask(
+                                direction, d, n, n, dtype, causal,
+                                b=args.B, h=args.H,
+                            )
+                        )
+                        if args.full_tasks and not causal:
+                            tasks.append(
+                                TuneTask(
+                                    direction, d, n, n, dtype, False,
+                                    has_bias=True, b=args.B, h=args.H,
+                                )
+                            )
+                            tasks.append(
+                                TuneTask(
+                                    direction, d, n, n, dtype, False,
+                                    dropout=True, b=args.B, h=args.H,
+                                )
+                            )
+                            tasks.append(
+                                TuneTask(
+                                    direction, d, n, n, dtype, False,
+                                    gqa=True, b=args.B, h=args.H,
+                                )
+                            )
+    return tasks
+
+
+def run_task(task: TuneTask, mode: str):
+    """Tune one task on the current process's device. Returns an entry dict
+    or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from .search import autotune_backward, autotune_forward
+    from .store import ConfigKey, make_entry
+
+    dtype = jnp.dtype(task.dtype)
+    hkv = max(task.h // 4, 1) if task.gqa else task.h
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kb = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (task.b, task.h, task.nq, task.d), dtype=dtype)
+    k = jax.random.normal(kk, (task.b, hkv, task.nkv, task.d), dtype=dtype)
+    v = jax.random.normal(kv, (task.b, hkv, task.nkv, task.d), dtype=dtype)
+    bias = None
+    if task.has_bias:
+        bias = jax.random.normal(
+            kb, (task.b, task.h, task.nq, task.nkv), dtype=jnp.float32
+        )
+    scale = 1.0 / (task.d ** 0.5)
+    dropout_p = 0.1 if task.dropout else 0.0
+
+    tune = autotune_forward if task.direction == "fwd" else autotune_backward
+    cfg, ms = tune(
+        q, k, v, bias, scale=scale, is_causal=task.causal,
+        dropout_p=dropout_p, mode=mode,
+    )
+    if cfg is None:
+        return None
+    key_ = ConfigKey(
+        direction=task.direction,
+        dtype=task.dtype,
+        headdim=task.d,
+        headdim_v=task.d,
+        seqlen_q=task.nq,
+        seqlen_k=task.nkv,
+        causal=task.causal,
+        has_bias=task.has_bias,
+        dropout=task.dropout,
+        gqa=task.gqa,
+    )
+    return make_entry(key_, cfg, ms=ms)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m ffpa_attn_tpu.autotune",
+        description="FFPA-TPU persistent autotune",
+    )
+    parser.add_argument("--mode", choices=["fast", "max"], default="fast")
+    parser.add_argument(
+        "--directions", nargs="*", default=["fwd", "bwd"], choices=["fwd", "bwd"]
+    )
+    parser.add_argument(
+        "--dtypes", nargs="*", default=["bfloat16"],
+        choices=["bfloat16", "float16"],
+    )
+    parser.add_argument("--headdims", type=int, nargs="*", default=list(DEFAULT_HEADDIMS))
+    parser.add_argument("--seqlens", type=int, nargs="*", default=list(DEFAULT_SEQLENS))
+    parser.add_argument("--B", type=int, default=1)
+    parser.add_argument("--H", type=int, default=8)
+    parser.add_argument("--full-tasks", action="store_true")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument(
+        "--num-workers", type=int, default=1,
+        help="parallel worker processes, one per local TPU device",
+    )
+    parser.add_argument("--output-dir", default=None)
+    args = parser.parse_args(argv)
+
+    tasks = iter_tasks(args)
+    logger.info("autotune: %d tasks, mode=%s", len(tasks), args.mode)
+
+    if args.num_workers > 1:
+        from .engine import run_multiprocess_autotune
+
+        entries = run_multiprocess_autotune(tasks, args)
+    else:
+        entries = []
+        t_start = time.time()
+        for i, task in enumerate(tasks):
+            t0 = time.time()
+            try:
+                entry = run_task(task, args.mode)
+            except Exception as exc:
+                logger.warning("task %s failed: %s", task, str(exc)[:200])
+                continue
+            if entry is not None:
+                entries.append(entry)
+                logger.info(
+                    "[AUTOTUNED][%d/%d] %s d=%d n=%d causal=%s -> %s t=%.1fs",
+                    i + 1,
+                    len(tasks),
+                    task.direction,
+                    task.d,
+                    task.nq,
+                    task.causal,
+                    entry["config"],
+                    time.time() - t0,
+                )
+        logger.info(
+            "autotune finished: %d entries in %.1fs",
+            len(entries),
+            time.time() - t_start,
+        )
+
+    from .store import write_config_file
+
+    path = write_config_file(
+        entries, directory=args.output_dir, overwrite=args.overwrite
+    )
+    logger.info("wrote %s", path)
+    return 0

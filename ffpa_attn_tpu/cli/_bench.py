@@ -85,16 +85,26 @@ def _inputs(case: BenchCase, dtype, seed=0):
     return q, k, v, mask, do
 
 
+def _sync(out) -> None:
+    """Device sync that also works over remote-dispatch backends where a bare
+    block_until_ready can return early: fetch one element to host."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.block_until_ready(leaf)
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Wall-clock ms/iter with block_until_ready (reference runners use
-    warmup=2 iters=10, cli/_runner_fwd.py)."""
+    """Wall-clock ms/iter (reference runners use warmup=2 iters=10,
+    cli/_runner_fwd.py)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -119,19 +129,65 @@ def _ffpa_fwd_fn(case: BenchCase, backend: Optional[str]):
     return fn
 
 
+def _chunked_xla_sdpa(q, k, v, mask, *, causal: bool, chunk: int = 1024):
+    """Query-chunked fp32-softmax attention — the memory-feasible "stock
+    XLA" composite JAX users write when the naive composite OOMs at long N
+    (flash-free; scores materialized per chunk only)."""
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
+    chunk = min(chunk, nq)
+    pad = (-nq) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nchunks = qp.shape[2] // chunk
+    scale = 1.0 / (d ** 0.5)
+    offset = nkv - nq
+
+    def one(idx):
+        qc = jax.lax.dynamic_slice_in_dim(qp, idx * chunk, chunk, axis=2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qc, k).astype(jnp.float32) * scale
+        if mask is not None:
+            mc = mask
+            if mask.shape[2] != 1:
+                mc = jax.lax.dynamic_slice_in_dim(mask, idx * chunk, chunk, axis=2)
+            s = s + mc
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, nkv), 0) + idx * chunk
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, nkv), 1)
+            s = jnp.where(cols <= rows + offset, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+    out = jax.lax.map(one, jnp.arange(nchunks))  # [nchunks, B, H, chunk, D]
+    out = jnp.moveaxis(out, 0, 2).reshape(b, h, nchunks * chunk, v.shape[-1])
+    return out[:, :, :nq]
+
+
 def _sdpa_fwd_fn(case: BenchCase):
+    """Stock XLA SDPA baseline (the analog of the reference's torch SDPA
+    baseline): ``jax.nn.dot_product_attention`` when the full scores tensor
+    fits HBM, else the query-chunked composite.
+
+    XLA's composite has no attention dropout; the dropout case is timed
+    against the dropout-free baseline (conservative for our speedup).
+    """
     hq = case.hq
+    scores_bytes = case.b * case.hq * case.nq * case.nkv * 4
+    use_chunked = scores_bytes > 2 * 1024**3
 
     @jax.jit
     def fn(q, k, v, mask):
-        return reference_attention(
-            q,
-            expand_kv_heads(k, hq),
-            expand_kv_heads(v, hq),
-            mask,
+        k_e = expand_kv_heads(k, hq)
+        v_e = expand_kv_heads(v, hq)
+        if use_chunked:
+            return _chunked_xla_sdpa(q, k_e, v_e, mask, causal=case.causal)
+        out = jax.nn.dot_product_attention(
+            jnp.swapaxes(q, 1, 2),
+            jnp.swapaxes(k_e, 1, 2),
+            jnp.swapaxes(v_e, 1, 2),
+            bias=mask,
             is_causal=case.causal,
-            dropout_p=case.dropout_p,
         )
+        return jnp.swapaxes(out, 1, 2)
 
     return fn
 

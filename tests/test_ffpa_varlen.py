@@ -147,6 +147,8 @@ def test_varlen_rejected_kwargs():
     with pytest.raises(NotImplementedError):
         ffpa_attn_varlen_func(q, k, v, cu_q, cu_k, 128, 128, dropout_p=0.1)
     with pytest.raises(TypeError):
+        # (int64 would be silently demoted with x64 disabled; float32 is a
+        # representable wrong dtype)
         ffpa_attn_varlen_func(
-            q, k, v, cu_q.astype(jnp.int64), cu_k, 128, 128
+            q, k, v, cu_q.astype(jnp.float32), cu_k, 128, 128
         )

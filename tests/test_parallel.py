@@ -1,0 +1,30 @@
+"""Multi-device sharding tests (ring attention, TP, dryrun train step).
+
+These need >= 8 devices, so they run in a subprocess with an 8-device CPU
+mesh (the SURVEY.md §4 recommendation: real multi-host tests the reference
+lacks, CPU-simulable via xla_force_host_platform_device_count).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def test_ring_and_tp_on_cpu_mesh():
+    script = os.path.join(os.path.dirname(__file__), "_ring_check.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+    result = subprocess.run(
+        [sys.executable, script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert result.returncode == 0, (
+        f"ring check failed\nstdout:\n{result.stdout}\nstderr:\n{result.stderr[-3000:]}"
+    )
+    assert "ALL RING CHECKS PASSED" in result.stdout
