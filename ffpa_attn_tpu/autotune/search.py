@@ -30,8 +30,8 @@ from ..ops.config import (
 
 logger = init_logger(__name__)
 
-_FAST_BLOCKS = (256, 512)
-_MAX_BLOCKS = (128, 256, 512, 1024)
+_FAST_BLOCKS = (256, 512, 1024)
+_MAX_BLOCKS = (128, 256, 512, 1024, 2048)
 
 
 def fwd_candidates(
@@ -179,11 +179,13 @@ def autotune_backward(
     do = jnp.ones_like(o)
 
     def make_fn(cfg):
+        # Return every grad — returning only dq would let XLA dead-code
+        # eliminate the dK/dV kernel and time half the backward.
         jitted = jax.jit(
             lambda q_, k_, v_, b_, o_, lse_, do_: flash_attention_backward(
                 q_, k_, v_, b_, o_, lse_, do_, scale=scale,
                 is_causal=is_causal, dropout_p=dropout_p, config=cfg,
-            )[0]
+            )[:3]
         )
         return lambda: jitted(q, k, v, bias, o, lse, do)
 

@@ -272,23 +272,36 @@ def write_config_file(
     directory: Optional[str] = None,
     overwrite: bool = False,
 ) -> Path:
-    """Atomically write (merge by default) the device config file."""
+    """Locked read-merge-write of the device config file.
+
+    Concurrency-safe across autotune worker processes via the native
+    (C++/flock) locked store (utils/native.py) — the analog of the
+    reference's fcntl-locked artifact cache (cute/utils/cache_utils.py).
+    """
+    from ..utils.native import LockedStore
+
     kind = device_kind or current_device_kind()
     dir_ = Path(directory) if directory else (
         Path(ENV.tuned_config_dir()) if ENV.tuned_config_dir() else _BUNDLED_DIR
     )
     dir_.mkdir(parents=True, exist_ok=True)
     path = _config_path(dir_, kind)
-    if not overwrite and path.exists():
-        entries = merge_entries(_load_file(path), entries)
-    payload = build_payload(entries, kind)
-    fd, tmp = tempfile.mkstemp(dir=str(dir_), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    with LockedStore(path) as store:
+        if not overwrite:
+            existing = store.read_text()
+            if existing is not None:
+                try:
+                    payload = json.loads(existing)
+                    if (
+                        isinstance(payload, dict)
+                        and payload.get("schema_version") == SCHEMA_VERSION
+                    ):
+                        entries = merge_entries(
+                            payload.get("entries", []), entries
+                        )
+                except json.JSONDecodeError:
+                    pass
+        payload = build_payload(entries, kind)
+        store.write_text_atomic(json.dumps(payload, indent=1, sort_keys=True))
     clear_lookup_cache()
     return path

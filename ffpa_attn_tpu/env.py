@@ -82,9 +82,12 @@ class ENV:
         """Per-kernel VMEM budget used by the block-shape cost model.
 
         The analog of the reference's per-arch SMEM capacity probing
-        (cute/_utils.py:247-304). ~16 MiB/core less headroom for Mosaic.
+        (cute/_utils.py:247-304). v5e has ~16 MiB VMEM/core; empirically
+        ~12 MiB is usable once Mosaic's pipelining overheads are counted
+        (measured via the D=512 N=8192 block sweep: (1024,1024) tiles at
+        ~13.5 MiB fail to compile, (1024,512) at ~8.5 MiB pass).
         """
-        return _env_int("FFPA_TPU_VMEM_LIMIT_BYTES", 100 * 1024 * 1024)
+        return _env_int("FFPA_TPU_VMEM_LIMIT_BYTES", 13 * 1024 * 1024 + 512 * 1024)
 
     @staticmethod
     def min_seqlen_q() -> int:

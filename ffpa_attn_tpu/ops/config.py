@@ -94,11 +94,14 @@ def fwd_vmem_bytes(
 def bwd_dkdv_vmem_bytes(
     cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
 ) -> int:
+    """Calibrated against the v5e D=512 sweep: owner KV tiles are
+    single-buffered (fixed per cell), streamed Q/dO tiles double-buffered,
+    and the tile math holds ~3 score-sized fp32 live values (s, dP, dS)."""
     bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
-    kv_tiles = (bkv * d + bkv * dv) * itemsize
-    q_streams = 2 * (2 * bq * d * itemsize + bq * dv * itemsize)  # q, do (+lse/delta small)
-    scores = 2 * bq * bkv * 4  # s and dp
-    scratch = bkv * d * 4 + bkv * dv * 4  # dk, dv accumulators
+    kv_tiles = bkv * (d + dv) * itemsize
+    q_streams = 2 * bq * (d + dv) * itemsize
+    scores = 3 * bq * bkv * 4
+    scratch = bkv * (d + dv) * 4  # dk, dv accumulators
     bias = 2 * bq * bkv * 4 if has_bias else 0
     return kv_tiles + q_streams + scores + scratch + bias
 
@@ -107,9 +110,9 @@ def bwd_dq_vmem_bytes(
     cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
 ) -> int:
     bq, bkv = cfg.block_q_dq, cfg.block_kv_dq
-    q_tiles = (2 * bq * d + bq * dv) * itemsize  # q, do
-    kv_streams = 2 * (bkv * d + bkv * dv) * itemsize
-    scores = 2 * bq * bkv * 4
+    q_tiles = bq * (d + dv) * itemsize  # q, do (owners)
+    kv_streams = 2 * bkv * (d + dv) * itemsize
+    scores = 3 * bq * bkv * 4
     scratch = bq * d * 4  # dq accumulator
     bias = 2 * bq * bkv * 4 if has_bias else 0
     return q_tiles + kv_streams + scores + scratch + bias
@@ -127,27 +130,19 @@ def default_config(
     """Pick a safe default block config for the problem shape.
 
     Heuristic re-derivation of the reference's default
-    ``{BM:128, BN:64, BHD:64}`` (triton/_ffpa_fwd.py:971-995) for MXU
-    128x128 tiles: larger D leaves less VMEM for blocks, so block sizes step
-    down as D grows — the TPU analog of the M8N1<->M4N2 register-pressure
-    dispatch (BASELINE.md M4N2 table).
+    ``{BM:128, BN:64, BHD:64}`` (triton/_ffpa_fwd.py:971-995) for the MXU +
+    VMEM regime, informed by the measured D=512 N=8192 sweep: larger
+    block_q dominates (it divides the K/V HBM re-read factor nq/block_q),
+    with block_kv=512 the sweet spot — (1024, 512) hit 122.6 TF vs 105 TF
+    for (256, 512). Larger D leaves less VMEM so block_q steps down — the
+    TPU analog of the M8N1<->M4N2 register-pressure dispatch (BASELINE.md).
     """
     from ..env import ENV
 
     limit = vmem_limit if vmem_limit is not None else ENV.vmem_limit_bytes()
-    if d <= 384:
-        cfg = BlockConfig(block_q=512, block_kv=512)
-    elif d <= 768:
-        cfg = BlockConfig(block_q=256, block_kv=512)
-    else:
-        cfg = BlockConfig(block_q=256, block_kv=256)
-    cfg = cfg.clamp(nq, nkv)
-    # Shrink until the cost model fits the budget.
-    while fwd_vmem_bytes(cfg, d, dv, itemsize, has_bias) > limit and (
-        cfg.block_q > LANE or cfg.block_kv > LANE
-    ):
-        if cfg.block_kv >= cfg.block_q and cfg.block_kv > LANE:
-            cfg = replace(cfg, block_kv=cfg.block_kv // 2)
-        else:
-            cfg = replace(cfg, block_q=cfg.block_q // 2)
-    return cfg
+    for bq in (1024, 512, 256, 128):
+        for bkv in (512, 256, 128):
+            cfg = BlockConfig(block_q=bq, block_kv=bkv).clamp(nq, nkv)
+            if fwd_vmem_bytes(cfg, d, dv, itemsize, has_bias) <= limit:
+                return cfg
+    return BlockConfig(block_q=LANE, block_kv=LANE).clamp(nq, nkv)

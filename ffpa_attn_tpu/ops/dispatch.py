@@ -77,15 +77,26 @@ def pick_backward_config(
     if cfg is not None:
         return cfg
     itemsize = jnp.dtype(dtype).itemsize
-    base = default_config(d, dv, nq, nkv, itemsize=itemsize, has_bias=has_bias)
-    # Backward tiles default smaller: three live matrices per cell.
-    from dataclasses import replace
+    # Greedy from the measured v5e ranking: large streamed-Q blocks amortize
+    # the owner KV tile; (1024, 512) won the D=512 N=8192 sweep (111.5 TF vs
+    # 95.9 TF for (256, 256)).
+    from ..env import ENV
+    from .config import BlockConfig, bwd_dkdv_vmem_bytes, bwd_dq_vmem_bytes
 
-    shrink = max(128, (base.block_kv // 2) // 128 * 128)
-    return replace(
-        base,
-        block_q_dkdv=min(base.block_q, 256),
-        block_kv_dkdv=min(shrink, 256),
-        block_q_dq=min(base.block_q, 256),
-        block_kv_dq=min(shrink, 256),
-    )
+    limit = ENV.vmem_limit_bytes()
+    for bq in (1024, 512, 256, 128):
+        for bkv in (512, 256, 128):
+            cfg = BlockConfig(
+                block_q_dkdv=bq,
+                block_kv_dkdv=bkv,
+                block_q_dq=bq,
+                block_kv_dq=bkv,
+            ).clamp(nq, nkv)
+            if (
+                bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias) <= limit
+                and bwd_dq_vmem_bytes(cfg, d, dv, itemsize, has_bias) <= limit
+            ):
+                return cfg
+    return BlockConfig(
+        block_q_dkdv=128, block_kv_dkdv=128, block_q_dq=128, block_kv_dq=128
+    ).clamp(nq, nkv)
