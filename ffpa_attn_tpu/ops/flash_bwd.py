@@ -393,14 +393,36 @@ def flash_attention_backward(
         bias, bq, bkv, nq_pad, nkv_pad, kv_major=True
     )
 
+    if is_causal:
+        # Clamp the streamed Q index to the first tile that attends this KV
+        # tile — Pallas elides DMAs for the (masked) repeats; same trick as
+        # the forward KV clamp.
+        def qi_index(b_, h, j, i, bq=bq, bkv=bkv, off=causal_offset):
+            i_min = jnp.maximum(0, -(-(j * bkv + 1 - off) // bq) - 1)
+            return jnp.maximum(i, i_min)
+
+    else:
+
+        def qi_index(b_, h, j, i):
+            return i
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, bq, d), lambda b_, h, j, i: (b_, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h, j, i: (b_, h, qi_index(b_, h, j, i), 0)
+        ),
         pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
         pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
-        pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, j, i: (b_, h, i, 0)),
-        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, i)),
-        pl.BlockSpec((1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, i)),
+        pl.BlockSpec(
+            (1, 1, bq, dv_dim),
+            lambda b_, h, j, i: (b_, h, qi_index(b_, h, j, i), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, qi_index(b_, h, j, i))
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, qi_index(b_, h, j, i))
+        ),
     ]
     inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
     if has_bias:
@@ -474,11 +496,28 @@ def flash_attention_backward(
     )
     emit_dbias = has_bias
 
+    if is_causal:
+
+        def kvj_index(b_, h, i, j, bq=bq, bkv=bkv, off=causal_offset):
+            j_max = ((i + 1) * bq - 1 + off) // bkv
+            return jnp.minimum(j, j_max)
+
+    else:
+
+        def kvj_index(b_, h, i, j):
+            return j
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
-        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec(
+            (1, 1, bkv, d),
+            lambda b_, h, i, j, g=group: (b_, h // g, kvj_index(b_, h, i, j), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bkv, dv_dim),
+            lambda b_, h, i, j, g=group: (b_, h // g, kvj_index(b_, h, i, j), 0),
+        ),
         pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, i, j: (b_, h, i, 0)),
         pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),

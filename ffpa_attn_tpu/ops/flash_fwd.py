@@ -221,15 +221,28 @@ def flash_attention_forward(
     num_kv_blocks = nkv_pad // bkv
     grid = (b, hq, num_q_blocks, num_kv_blocks)
 
+    causal_offset = nkv - nq
+
+    if is_causal:
+        # Clamp the streamed KV block index to the last tile any row of this
+        # Q block attends. Pallas elides the DMA when consecutive grid steps
+        # map to the same block, so fully-masked tiles cost neither
+        # bandwidth nor compute (the @pl.when skip) — the bandwidth analog
+        # of the reference's causal tile skipping.
+        def kv_index(b_, h, i, j, g=group):
+            j_max = ((i + 1) * bq - 1 + causal_offset) // bkv
+            return (b_, h // g, jnp.minimum(j, j_max), 0)
+
+    else:
+
+        def kv_index(b_, h, i, j, g=group):
+            return (b_, h // g, j, 0)
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1) int32
         pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-        pl.BlockSpec(
-            (1, 1, bkv, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv, dv), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)
-        ),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, dv), kv_index),
     ]
     inputs = [
         jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1),
@@ -262,7 +275,7 @@ def flash_attention_forward(
         _fwd_kernel if has_bias else _no_bias(_fwd_kernel),
         scale=scale,
         causal=is_causal,
-        causal_offset=nkv - nq,
+        causal_offset=causal_offset,
         true_nkv=nkv,
         kv_padded=nkv_pad != nkv,
         dropout_p=float(dropout_p),

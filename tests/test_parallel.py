@@ -16,6 +16,12 @@ def test_ring_and_tp_on_cpu_mesh():
     script = os.path.join(os.path.dirname(__file__), "_ring_check.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    # The axon sitecustomize registers the TPU plugin whenever
+    # PALLAS_AXON_POOL_IPS is set; scrub it so the child is a clean CPU host.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("JAX_PLATFORM_NAME", None)
     result = subprocess.run(
         [sys.executable, script],
