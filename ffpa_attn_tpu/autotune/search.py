@@ -94,38 +94,28 @@ def bwd_candidates(
     return out
 
 
-def time_config(
-    fn: Callable[[], jax.Array],
-    warmup: int = 2,
-    iters: int = 5,
-) -> float:
-    """Wall-clock ms; raises on compile failure."""
-    from ..cli._bench import _sync
-
-    for _ in range(warmup):
-        out = fn()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def search(
-    make_fn: Callable[[BlockConfig], Callable[[], jax.Array]],
+    make_step: Callable[[BlockConfig], Callable],
+    q,
+    rest: tuple,
     candidates: Iterable[BlockConfig],
     label: str = "",
+    iters: int = 5,
 ) -> tuple[Optional[BlockConfig], float]:
-    """Time every candidate; skip compile/runtime failures (resilient walk).
+    """Time every candidate with scan-chained iterations (one jit invocation
+    per candidate, so the remote-dispatch fixed overhead cancels); skip
+    compile/runtime failures — the resilient walk of the reference autotuner
+    (triton/_autotune_utils.py:113-180).
 
     Returns (best_config, best_ms); (None, inf) if everything failed.
     """
+    from ..cli._bench import time_chained
+
     best: Optional[BlockConfig] = None
     best_ms = float("inf")
     for cfg in candidates:
         try:
-            ms = time_config(make_fn(cfg))
+            ms = time_chained(make_step(cfg), q, *rest, iters=iters)
         except Exception as exc:  # Mosaic OOM / lowering error: skip
             logger.debug_once(
                 "autotune[%s]: config %s failed: %s", label, cfg, str(exc)[:200]
@@ -147,16 +137,19 @@ def autotune_forward(
     itemsize = jnp.dtype(q.dtype).itemsize
     cands = fwd_candidates(d, dv, nq, nkv, itemsize, bias is not None, mode)
 
-    def make_fn(cfg):
-        jitted = jax.jit(
-            lambda q_, k_, v_, b_: flash_attention_forward(
-                q_, k_, v_, b_, scale=scale, is_causal=is_causal,
+    def make_step(cfg):
+        def step(q_, k_, v_):
+            o, _ = flash_attention_forward(
+                q_, k_, v_, bias, scale=scale, is_causal=is_causal,
                 dropout_p=dropout_p, config=cfg,
-            )[0]
-        )
-        return lambda: jitted(q, k, v, bias)
+            )
+            return o
 
-    return search(make_fn, cands, label=f"fwd d={d} n=({nq},{nkv})")
+        return step
+
+    return search(
+        make_step, q, (k, v), cands, label=f"fwd d={d} n=({nq},{nkv})"
+    )
 
 
 def autotune_backward(
@@ -178,15 +171,25 @@ def autotune_backward(
     )(q, k, v, bias)
     do = jnp.ones_like(o)
 
-    def make_fn(cfg):
-        # Return every grad — returning only dq would let XLA dead-code
-        # eliminate the dK/dV kernel and time half the backward.
-        jitted = jax.jit(
-            lambda q_, k_, v_, b_, o_, lse_, do_: flash_attention_backward(
-                q_, k_, v_, b_, o_, lse_, do_, scale=scale,
+    def make_step(cfg):
+        def step(q_, k_, v_, o_, lse_, do_):
+            # Chain on dq; fold dk/dv into the scalar extra so XLA cannot
+            # dead-code-eliminate the dK/dV kernel.
+            dq, dk, dvv, _ = flash_attention_backward(
+                q_, k_, v_, bias, o_, lse_, do_, scale=scale,
                 is_causal=is_causal, dropout_p=dropout_p, config=cfg,
-            )[:3]
-        )
-        return lambda: jitted(q, k, v, bias, o, lse, do)
+            )
+            extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
+                dvv.astype(jnp.float32)
+            )
+            return dq, extra
 
-    return search(make_fn, cands, label=f"bwd d={d} n=({nq},{nkv})")
+        return step
+
+    return search(
+        make_step,
+        q,
+        (k, v, o, lse, do),
+        cands,
+        label=f"bwd d={d} n=({nq},{nkv})",
+    )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..logger import init_logger
 from ..ops.dispatch import pick_forward_config
-from .search import autotune_forward, time_config
+from .search import autotune_forward
 from .store import lookup_tuned_config
 
 logger = init_logger(__name__)
@@ -41,12 +41,14 @@ def verify_case(d: int, n: int, causal: bool, dtype_name: str, mode: str) -> dic
     )
 
     def run_with(cfg):
-        jitted = jax.jit(
-            lambda q_, k_, v_: flash_attention_forward(
+        from ..cli._bench import time_chained
+
+        def step(q_, k_, v_):
+            return flash_attention_forward(
                 q_, k_, v_, None, scale=scale, is_causal=causal, config=cfg
             )[0]
-        )
-        return time_config(lambda: jitted(q, k, v))
+
+        return time_chained(step, q, k, v, iters=5)
 
     stored_ms = run_with(stored)
     agree = fresh is not None and stored == fresh
