@@ -254,20 +254,45 @@ def _sdpa_fwd_fn(case: BenchCase):
     return fn
 
 
-def _grad_step(fwd_fn, mask, do):
+def _grad_step(fwd_fn, has_mask: bool):
     """Backward step for chained timing: returns (dq, sum(dk)+sum(dv)) so
-    XLA cannot DCE any gradient kernel."""
+    XLA cannot DCE any gradient kernel.
 
-    def step(q, k, v):
-        def loss(q_, k_, v_):
-            return (
-                fwd_fn(q_, k_, v_, mask).astype(jnp.float32)
-                * do.astype(jnp.float32)
-            ).sum()
+    ``mask``/``do`` arrive as traced arguments, never closure constants — a
+    captured 8192x8192 mask or [B,H,N,D] dO would be baked into the
+    serialized program as a literal (268 MB at the headline shape) and
+    overflow remote-compile request limits.
+    """
 
-        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-        extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(dv.astype(jnp.float32))
-        return dq, extra
+    if has_mask:
+
+        def step(q, k, v, mask, do):
+            def loss(q_, k_, v_):
+                return (
+                    fwd_fn(q_, k_, v_, mask).astype(jnp.float32)
+                    * do.astype(jnp.float32)
+                ).sum()
+
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
+                dv.astype(jnp.float32)
+            )
+            return dq, extra
+
+    else:
+
+        def step(q, k, v, do):
+            def loss(q_, k_, v_):
+                return (
+                    fwd_fn(q_, k_, v_, None).astype(jnp.float32)
+                    * do.astype(jnp.float32)
+                ).sum()
+
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
+                dv.astype(jnp.float32)
+            )
+            return dq, extra
 
     return step
 
@@ -284,20 +309,22 @@ def run_case(
     ffpa_fwd = _ffpa_fwd_fn(case, backend)
     sdpa_fwd = _sdpa_fwd_fn(case)
 
+    has_mask = mask is not None
     if direction == "fwd":
-        t_ffpa = time_chained(
-            lambda q_, k_, v_: ffpa_fwd(q_, k_, v_, mask), q, k, v, iters=iters
-        )
-        t_sdpa = time_chained(
-            lambda q_, k_, v_: sdpa_fwd(q_, k_, v_, mask), q, k, v, iters=iters
-        )
+        if has_mask:
+            ffpa_step = lambda q_, k_, v_, m_: ffpa_fwd(q_, k_, v_, m_)
+            sdpa_step = lambda q_, k_, v_, m_: sdpa_fwd(q_, k_, v_, m_)
+            rest = (k, v, mask)
+        else:
+            ffpa_step = lambda q_, k_, v_: ffpa_fwd(q_, k_, v_, None)
+            sdpa_step = lambda q_, k_, v_: sdpa_fwd(q_, k_, v_, None)
+            rest = (k, v)
+        t_ffpa = time_chained(ffpa_step, q, *rest, iters=iters)
+        t_sdpa = time_chained(sdpa_step, q, *rest, iters=iters)
     else:
-        t_ffpa = time_chained(
-            _grad_step(ffpa_fwd, mask, do), q, k, v, iters=iters
-        )
-        t_sdpa = time_chained(
-            _grad_step(sdpa_fwd, mask, do), q, k, v, iters=iters
-        )
+        rest = (k, v, mask, do) if has_mask else (k, v, do)
+        t_ffpa = time_chained(_grad_step(ffpa_fwd, has_mask), q, *rest, iters=iters)
+        t_sdpa = time_chained(_grad_step(sdpa_fwd, has_mask), q, *rest, iters=iters)
 
     flops = attention_flops(
         case.b,
