@@ -322,9 +322,28 @@ def run_case(
         t_ffpa = time_chained(ffpa_step, q, *rest, iters=iters)
         t_sdpa = time_chained(sdpa_step, q, *rest, iters=iters)
     else:
+        # jax.grad re-runs the forward inside the step, so subtract a
+        # forward-only measurement to report the backward pass alone — the
+        # reference times `out.backward()` with residuals saved
+        # (cli/_runner_bwd.py), and the 2.5x FLOPs model assumes that.
         rest = (k, v, mask, do) if has_mask else (k, v, do)
-        t_ffpa = time_chained(_grad_step(ffpa_fwd, has_mask), q, *rest, iters=iters)
-        t_sdpa = time_chained(_grad_step(sdpa_fwd, has_mask), q, *rest, iters=iters)
+        fwd_rest = (k, v, mask) if has_mask else (k, v)
+        if has_mask:
+            ffpa_fwd_step = lambda q_, k_, v_, m_: ffpa_fwd(q_, k_, v_, m_)
+            sdpa_fwd_step = lambda q_, k_, v_, m_: sdpa_fwd(q_, k_, v_, m_)
+        else:
+            ffpa_fwd_step = lambda q_, k_, v_: ffpa_fwd(q_, k_, v_, None)
+            sdpa_fwd_step = lambda q_, k_, v_: sdpa_fwd(q_, k_, v_, None)
+        t_ffpa_grad = time_chained(
+            _grad_step(ffpa_fwd, has_mask), q, *rest, iters=iters
+        )
+        t_ffpa_fwd = time_chained(ffpa_fwd_step, q, *fwd_rest, iters=iters)
+        t_sdpa_grad = time_chained(
+            _grad_step(sdpa_fwd, has_mask), q, *rest, iters=iters
+        )
+        t_sdpa_fwd = time_chained(sdpa_fwd_step, q, *fwd_rest, iters=iters)
+        t_ffpa = max(t_ffpa_grad - t_ffpa_fwd, 1e-3)
+        t_sdpa = max(t_sdpa_grad - t_sdpa_fwd, 1e-3)
 
     flops = attention_flops(
         case.b,

@@ -43,6 +43,7 @@ class EnvSnapshot:
     vmem_limit_bytes: int
     min_seqlen_q: int
     min_seqlen_kv: int
+    ds_handoff_limit_bytes: int
 
 
 class ENV:
@@ -100,6 +101,19 @@ class ENV:
         return _env_int("FFPA_TPU_MIN_SEQLEN_KV", 128)
 
     @staticmethod
+    def ds_handoff_limit_bytes() -> int:
+        """Max HBM bytes for the dS score-gradient handoff buffer.
+
+        The dS-handoff backward (flash_bwd.py) removes the dQ kernel's
+        S/dP recompute (2 of 7 matmul-equivalents) by materializing the
+        bf16 score gradient once; above this budget it falls back to the
+        recompute scheme. 0 disables the handoff entirely.
+        """
+        return _env_int(
+            "FFPA_TPU_DS_HANDOFF_LIMIT_BYTES", 5 * 1024 * 1024 * 1024
+        )
+
+    @staticmethod
     def snapshot() -> EnvSnapshot:
         return EnvSnapshot(
             allow_small_d=ENV.allow_small_d(),
@@ -110,4 +124,5 @@ class ENV:
             vmem_limit_bytes=ENV.vmem_limit_bytes(),
             min_seqlen_q=ENV.min_seqlen_q(),
             min_seqlen_kv=ENV.min_seqlen_kv(),
+            ds_handoff_limit_bytes=ENV.ds_handoff_limit_bytes(),
         )

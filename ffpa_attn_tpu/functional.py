@@ -101,6 +101,10 @@ class PallasBackend(Backend):
     block_q_dq: Optional[int] = None
     grad_kv_storage_dtype: Optional[str] = None
     grad_q_storage_dtype: Optional[str] = None
+    # dS-handoff backward (flash_bwd.py): None = auto by HBM budget,
+    # True/False = force. The handoff removes the dQ kernel's S/dP
+    # recompute at the cost of one bf16 [B,Hq,Nq,Nkv] HBM buffer.
+    ds_handoff: Optional[bool] = None
 
     def validate(self) -> None:
         if self.autotune_mode not in ("fast", "max"):

@@ -41,6 +41,7 @@ class StaticArgs:
     backward_is_sdpa: bool
     grad_kv_storage_dtype: Optional[str]
     grad_q_storage_dtype: Optional[str]
+    ds_handoff: Optional[bool] = None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -114,6 +115,7 @@ def _core_bwd(static: StaticArgs, residuals, do):
             config=static.bwd_config,
             grad_kv_storage_dtype=static.grad_kv_storage_dtype,
             grad_q_storage_dtype=static.grad_q_storage_dtype,
+            ds_handoff=static.ds_handoff,
         )
     return dq, dk, dv, dbias, None
 
@@ -165,7 +167,9 @@ def apply_attention(
     bwd_config = None
     grad_kv_dtype = None
     grad_q_dtype = None
+    ds_handoff = None
     if isinstance(bwd_be, PallasBackend):
+        ds_handoff = bwd_be.ds_handoff
         if bwd_be.block_kv_dkdv is not None or bwd_be.block_q_dq is not None:
             base = BlockConfig()
             bwd_config = BlockConfig(
@@ -184,5 +188,6 @@ def apply_attention(
         backward_is_sdpa=isinstance(bwd_be, SDPABackend),
         grad_kv_storage_dtype=grad_kv_dtype,
         grad_q_storage_dtype=grad_q_dtype,
+        ds_handoff=ds_handoff,
     )
     return ffpa_attention_core(static, q, k, v, bias, dropout_seed)

@@ -92,18 +92,25 @@ def fwd_vmem_bytes(
 
 
 def bwd_dkdv_vmem_bytes(
-    cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
+    cfg: BlockConfig,
+    d: int,
+    dv: int,
+    itemsize: int,
+    has_bias: bool,
+    emit_ds: bool = False,
 ) -> int:
     """Calibrated against the v5e D=512 sweep: owner KV tiles are
     single-buffered (fixed per cell), streamed Q/dO tiles double-buffered,
-    and the tile math holds ~3 score-sized fp32 live values (s, dP, dS)."""
+    and the tile math holds ~3 score-sized fp32 live values (s, dP, dS).
+    ``emit_ds`` adds the double-buffered dS handoff output block."""
     bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
     kv_tiles = bkv * (d + dv) * itemsize
     q_streams = 2 * bq * (d + dv) * itemsize
     scores = 3 * bq * bkv * 4
     scratch = bkv * (d + dv) * 4  # dk, dv accumulators
     bias = 2 * bq * bkv * 4 if has_bias else 0
-    return kv_tiles + q_streams + scores + scratch + bias
+    ds_out = 2 * bq * bkv * itemsize if emit_ds else 0
+    return kv_tiles + q_streams + scores + scratch + bias + ds_out
 
 
 def bwd_dq_vmem_bytes(

@@ -77,26 +77,40 @@ def pick_backward_config(
     if cfg is not None:
         return cfg
     itemsize = jnp.dtype(dtype).itemsize
-    # Greedy from the measured v5e ranking: large streamed-Q blocks amortize
-    # the owner KV tile; (1024, 512) won the D=512 N=8192 sweep (111.5 TF vs
-    # 95.9 TF for (256, 256)).
     from ..env import ENV
     from .config import BlockConfig, bwd_dkdv_vmem_bytes, bwd_dq_vmem_bytes
 
     limit = ENV.vmem_limit_bytes()
-    for bq in (1024, 512, 256, 128):
-        for bkv in (512, 256, 128):
+    # Measured v5e D=512 N=8192 per-launch sweeps (tools/sweep_bwd.py, with
+    # the dS-handoff output block counted): causal favors narrower KV owner
+    # tiles — (512,256) 43.6 ms vs (512,512) 47.4 ms — while non-causal
+    # favors (512,512) 61.5 ms. dQ-kernel fallback winner was (512,1024).
+    if causal:
+        dkdv_prefs = ((512, 256), (256, 512), (512, 512), (1024, 256))
+    else:
+        dkdv_prefs = ((512, 512), (1024, 512), (1024, 256), (256, 512))
+    dq_prefs = ((512, 1024), (1024, 512), (512, 512), (256, 512))
+    fallback = ((256, 256), (128, 256), (128, 128))
+
+    def first_fit(prefs, cost_fn, **cost_kw):
+        for bq, bkv in tuple(prefs) + fallback:
             cfg = BlockConfig(
-                block_q_dkdv=bq,
-                block_kv_dkdv=bkv,
-                block_q_dq=bq,
-                block_kv_dq=bkv,
+                block_q_dkdv=bq, block_kv_dkdv=bkv,
+                block_q_dq=bq, block_kv_dq=bkv,
             ).clamp(nq, nkv)
-            if (
-                bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias) <= limit
-                and bwd_dq_vmem_bytes(cfg, d, dv, itemsize, has_bias) <= limit
-            ):
+            if cost_fn(cfg, d, dv, itemsize, has_bias, **cost_kw) <= limit:
                 return cfg
-    return BlockConfig(
-        block_q_dkdv=128, block_kv_dkdv=128, block_q_dq=128, block_kv_dq=128
-    ).clamp(nq, nkv)
+        return BlockConfig(
+            block_q_dkdv=128, block_kv_dkdv=128,
+            block_q_dq=128, block_kv_dq=128,
+        ).clamp(nq, nkv)
+
+    # dkdv blocks must fit with the handoff dS output (the common path);
+    # _fit_dkdv_for_ds re-checks at launch time anyway.
+    dkdv = first_fit(dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True)
+    dq = first_fit(dq_prefs, bwd_dq_vmem_bytes)
+    from dataclasses import replace
+
+    return replace(
+        dkdv, block_q_dq=dq.block_q_dq, block_kv_dq=dq.block_kv_dq
+    )

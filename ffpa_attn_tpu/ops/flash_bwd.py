@@ -129,6 +129,7 @@ def _dkdv_kernel(
     bias_ref,  # optional
     dk_ref,  # (1, 1, bkv, D) out
     dv_ref,  # (1, 1, bkv, Dv) out
+    ds_ref,  # optional (1, 1, bq, bkv) out — bf16 dS handoff
     dk_scr,  # VMEM (bkv, D) f32
     dv_scr,  # VMEM (bkv, Dv) f32
     *,
@@ -142,6 +143,7 @@ def _dkdv_kernel(
     dropout_p,
     num_q_blocks,
     has_bias,
+    emit_ds,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -208,6 +210,16 @@ def _dkdv_kernel(
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if emit_ds:
+            # Handoff: the dQ pass becomes a pure XLA matmul over dS.
+            # Same bf16 rounding the dQ kernel applies before its dS @ K.
+            ds_ref[0, 0] = ds.astype(ds_ref.dtype)
+
+    if emit_ds and causal:
+        # Skipped above-diagonal tiles must still define their dS block.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_ds():
+            ds_ref[0, 0] = jnp.zeros_like(ds_ref[0, 0])
 
     @pl.when(i == num_q_blocks - 1)
     def _epilogue():
@@ -344,12 +356,27 @@ def flash_attention_backward(
     grad_kv_storage_dtype: Optional[str] = None,
     grad_q_storage_dtype: Optional[str] = None,
     interpret: Optional[bool] = None,
+    run_dkdv: bool = True,
+    run_dq: bool = True,
+    ds_handoff: Optional[bool] = None,
 ):
     """Three-launch backward. Returns (dq, dk, dv, dbias_or_None).
 
     ``k``/``v`` keep their [B, Hkv, Nkv, D] layout; GQA is handled by
     computing per-Q-head dk/dv and group-summing (expand/reduce,
     reference triton/_ffpa_bwd.py:2936-2990).
+
+    ``run_dkdv``/``run_dq`` let the autotuner time each launch in
+    isolation (skipped outputs return None).
+
+    ``ds_handoff`` (default: auto by HBM budget) selects the dS-handoff
+    scheme: the dK/dV kernel additionally emits the bf16 score gradient
+    dS = P*(dP - delta), and dQ becomes a pure XLA matmul
+    ``scale * dS @ K`` — eliminating the dQ kernel's S/dP recompute
+    (2 of 7 matmul-equivalents; the TPU answer to the recompute flaw the
+    reference documents at triton/_ffpa_bwd.py:34-69). Numerics are
+    unchanged: the recompute dQ kernel also rounds dS to bf16 before its
+    MXU matmul.
     """
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -374,7 +401,116 @@ def flash_attention_backward(
 
     causal_offset = nkv - nq
 
-    # ---- dK/dV launch ----
+    if ds_handoff is None:
+        from ..env import ENV
+
+        bq_h, bkv_h = config.block_q_dkdv, config.block_kv_dkdv
+        ds_bytes = (
+            b * hq * cdiv(nq, bq_h) * bq_h * cdiv(nkv, bkv_h) * bkv_h
+            * jnp.dtype(q.dtype).itemsize
+        )
+        ds_handoff = ds_bytes <= ENV.ds_handoff_limit_bytes()
+    ds_handoff = ds_handoff and run_dkdv and run_dq
+    if ds_handoff:
+        config = _fit_dkdv_for_ds(config, d, dv_dim, q.dtype, bias is not None)
+
+    if run_dkdv:
+        dk, dv, ds_full = _dkdv_launch(
+            q, k, v, bias, do, lse, delta, seed_arr, config,
+            scale=scale, is_causal=is_causal, causal_offset=causal_offset,
+            dropout_p=dropout_p, group=group,
+            grad_kv_storage_dtype=grad_kv_storage_dtype,
+            interpret=interpret, emit_ds=ds_handoff,
+        )
+    else:
+        dk = dv = ds_full = None
+
+    if ds_handoff:
+        dq, dbias = _dq_from_ds(
+            ds_full, k, bias,
+            scale=scale, group=group, nq=nq, nkv=nkv,
+            dq_dtype=_grad_dtype(grad_q_storage_dtype, q.dtype),
+        )
+    elif run_dq:
+        dq, dbias = _dq_launch(
+            q, k, v, bias, do, lse, delta, seed_arr, config,
+            scale=scale, is_causal=is_causal, causal_offset=causal_offset,
+            dropout_p=dropout_p, group=group,
+            grad_q_storage_dtype=grad_q_storage_dtype,
+            interpret=interpret,
+        )
+    else:
+        dq = dbias = None
+
+    return dq, dk, dv, dbias
+
+
+def _fit_dkdv_for_ds(config: BlockConfig, d, dv, dtype, has_bias) -> BlockConfig:
+    """Shrink the dK/dV owner/stream blocks until the extra dS output block
+    fits the VMEM budget (the handoff adds 2*bq*bkv*itemsize of output
+    double-buffer the plain kernel doesn't carry)."""
+    from dataclasses import replace
+
+    from ..env import ENV
+    from .config import LANE, bwd_dkdv_vmem_bytes
+
+    limit = ENV.vmem_limit_bytes()
+    itemsize = jnp.dtype(dtype).itemsize
+    cfg = config
+    while (
+        bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias, emit_ds=True)
+        > limit
+    ):
+        bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+        if bq >= 2 * LANE and bq >= bkv:
+            cfg = replace(cfg, block_q_dkdv=bq // 2)
+        elif bkv >= 2 * LANE:
+            cfg = replace(cfg, block_kv_dkdv=bkv // 2)
+        else:
+            break
+    return cfg
+
+
+def _dq_from_ds(ds_full, k, bias, *, scale, group, nq, nkv, dq_dtype):
+    """dQ (and dBias) from the handed-off score gradient.
+
+    ``dq = scale * dS @ K`` — one MXU-shaped einsum XLA schedules at peak;
+    ``dbias = sum_to_size(dS)`` (reference aten/_efficient_bwd.py:185-186).
+    """
+    b, hq = ds_full.shape[:2]
+    hkv = k.shape[1]
+    ds_c = ds_full[:, :, :nq, :nkv]
+    if group > 1:
+        ds_g = ds_c.reshape(b, hkv, group, nq, nkv)
+        dq = jnp.einsum(
+            "bhgqk,bhkd->bhgqd", ds_g, k,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, hq, nq, k.shape[-1])
+    else:
+        dq = jnp.einsum(
+            "bhqk,bhkd->bhqd", ds_c, k,
+            preferred_element_type=jnp.float32,
+        )
+    dq = (jnp.float32(scale) * dq).astype(dq_dtype)
+
+    dbias = None
+    if bias is not None:
+        dbias_full = ds_c.astype(jnp.float32)
+        axes = tuple(ax for ax, sz in enumerate(bias.shape) if sz == 1)
+        dbias = (
+            dbias_full.sum(axis=axes, keepdims=True) if axes else dbias_full
+        ).astype(bias.dtype)
+    return dq, dbias
+
+
+def _dkdv_launch(
+    q, k, v, bias, do, lse, delta, seed_arr, config,
+    *, scale, is_causal, causal_offset, dropout_p, group,
+    grad_kv_storage_dtype, interpret, emit_ds=False,
+):
+    b, hq, nq, d = q.shape
+    _, hkv, nkv, _ = k.shape
+    dv_dim = v.shape[-1]
     bq, bkv = config.block_q_dkdv, config.block_kv_dkdv
     nq_pad = cdiv(nq, bq) * bq
     nkv_pad = cdiv(nkv, bkv) * bkv
@@ -430,7 +566,7 @@ def flash_attention_backward(
         inputs.append(bias_dkdv)
 
     dkdv_kernel = functools.partial(
-        _adapt_dkdv(_dkdv_kernel, has_bias),
+        _adapt_dkdv(_dkdv_kernel, has_bias, emit_ds),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -441,21 +577,31 @@ def flash_attention_backward(
         dropout_p=float(dropout_p),
         num_q_blocks=num_q_blocks,
         has_bias=has_bias,
+        emit_ds=emit_ds,
     )
 
     dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)
-    dk_e, dv_e = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i: (b_, h, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i: (b_, h, j, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, nkv_pad, d), dk_dtype),
+        jax.ShapeDtypeStruct((b, hq, nkv_pad, dv_dim), dk_dtype),
+    ]
+    if emit_ds:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, bkv), lambda b_, h, j, i: (b_, h, i, j))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), q.dtype)
+        )
+    result = pl.pallas_call(
         dkdv_kernel,
         grid=(b, hq, num_kv_blocks, num_q_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i: (b_, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i: (b_, h, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, nkv_pad, d), dk_dtype),
-            jax.ShapeDtypeStruct((b, hq, nkv_pad, dv_dim), dk_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bkv, d), jnp.float32),
             pltpu.VMEM((bkv, dv_dim), jnp.float32),
@@ -465,6 +611,11 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(*inputs)
+    if emit_ds:
+        dk_e, dv_e, ds_full = result
+    else:
+        dk_e, dv_e = result
+        ds_full = None
 
     if nkv_pad != nkv:
         dk_e = dk_e[:, :, :nkv]
@@ -477,8 +628,18 @@ def flash_attention_backward(
         dk, dv = dk_e, dv_e
     dk = dk.astype(_grad_dtype(grad_kv_storage_dtype, k.dtype))
     dv = dv.astype(_grad_dtype(grad_kv_storage_dtype, v.dtype))
+    return dk, dv, ds_full
 
-    # ---- dQ launch ----
+
+def _dq_launch(
+    q, k, v, bias, do, lse, delta, seed_arr, config,
+    *, scale, is_causal, causal_offset, dropout_p, group,
+    grad_q_storage_dtype, interpret,
+):
+    b, hq, nq, d = q.shape
+    _, hkv, nkv, _ = k.shape
+    dv_dim = v.shape[-1]
+    has_bias = bias is not None
     bq, bkv = config.block_q_dq, config.block_kv_dq
     nq_pad = cdiv(nq, bq) * bq
     nkv_pad = cdiv(nkv, bkv) * bkv
@@ -590,7 +751,7 @@ def flash_attention_backward(
             dbias_full.sum(axis=axes, keepdims=True) if axes else dbias_full
         ).astype(bias.dtype)
 
-    return dq, dk, dv, dbias
+    return dq, dbias
 
 
 def _bias_spec(bias, bq, bkv, nq_pad, nkv_pad, kv_major: bool):
@@ -623,7 +784,7 @@ def _bias_spec(bias, bq, bkv, nq_pad, nkv_pad, kv_major: bool):
     return bias, tuple(block), index_map
 
 
-def _adapt_dkdv(kernel, has_bias: bool):
+def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool):
     """Map the actual pallas ref list to the full _dkdv_kernel signature."""
 
     @functools.wraps(kernel)
@@ -633,9 +794,14 @@ def _adapt_dkdv(kernel, has_bias: bool):
         bias_ref = refs[pos] if has_bias else None
         if has_bias:
             pos += 1
-        dk_ref, dv_ref, dk_scr, dv_scr = refs[pos : pos + 4]
+        dk_ref, dv_ref = refs[pos : pos + 2]
+        pos += 2
+        ds_ref = refs[pos] if emit_ds else None
+        if emit_ds:
+            pos += 1
+        dk_scr, dv_scr = refs[pos : pos + 2]
         return kernel(
-            *refs[:7], bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, **kw
+            *refs[:7], bias_ref, dk_ref, dv_ref, ds_ref, dk_scr, dv_scr, **kw
         )
 
     return wrapped

@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.flash_fwd import flash_attention_forward

@@ -159,3 +159,60 @@ def test_bwd_grad_storage_dtype():
     assert dk.dtype == jnp.float32
     assert dv.dtype == jnp.float32
     assert dq.dtype == dtype
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("group", [1, 2])
+def test_bwd_ds_handoff_matches_recompute(causal, group):
+    """The dS-handoff scheme (dQ = XLA matmul over the handed-off score
+    gradient) must match the recompute dQ kernel bit-for-bit on dq/dk/dv
+    (both round dS to bf16 before the MXU matmul)."""
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, hq, nq, nkv, d = 1, 2 * group, 256, 384, 320
+    q, k, v, do = _make(b, hq, hq // group, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=causal)
+    ref = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        ds_handoff=False,
+    )
+    got = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        ds_handoff=True,
+    )
+    for name, r, g in zip(("dq", "dk", "dv"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=0, atol=0, err_msg=name,
+        )
+
+
+def test_bwd_ds_handoff_bias_grad():
+    """dbias through the handoff (sum of bf16 dS) stays within the numerics
+    contract vs the fp32-dS recompute path."""
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, hq, nq, nkv, d = 1, 2, 256, 256, 320
+    q, k, v, do = _make(b, hq, hq, nq, nkv, d, dtype)
+    bias = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 1, nkv), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_forward(q, k, v, bias, scale=scale, is_causal=False)
+    ref = flash_attention_backward(
+        q, k, v, bias, o, lse, do, scale=scale, is_causal=False,
+        ds_handoff=False,
+    )
+    got = flash_attention_backward(
+        q, k, v, bias, o, lse, do, scale=scale, is_causal=False,
+        ds_handoff=True,
+    )
+    # bf16 contract is 5e-2 (reference tests/test_ffpa_bwd.py:40-42): the
+    # handoff sums bf16-rounded dS for compact-bias reductions.
+    np.testing.assert_allclose(
+        np.asarray(got[3], np.float32), np.asarray(ref[3], np.float32),
+        rtol=5e-2, atol=5e-2, err_msg="dbias",
+    )
