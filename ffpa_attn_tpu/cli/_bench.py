@@ -109,67 +109,67 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
 
 
 def time_chained(step_fn, q, *rest, iters: int = 10, warmup: bool = True) -> float:
-    """ms/iter with iterations chained inside ONE jit via lax.scan.
+    """ms/iter with iterations chained inside ONE jit via lax.scan,
+    measured at two scan lengths so fixed overhead cancels exactly.
 
-    Remote-dispatch backends (the axon tunnel) add ~50 ms of fixed overhead
-    per executable invocation (measured: 4096^3 matmul = 52.9 ms at x1 vs
-    1.26 ms/iter at x100), so python-loop timing drowns the kernel. A
-    scan-chained measurement with a traced epsilon data dependence gives the
-    true per-iteration device time. ``step_fn(q, *rest) -> array of q's
-    shape`` (attention output or dq).
+    Remote-dispatch backends (the axon tunnel) add a large (~50-70 ms) and
+    *program-dependent* fixed overhead per executable invocation, so
+    python-loop timing — and even single-length chained timing with a
+    separately-measured overhead subtraction — misreports kernels in the
+    sub-10ms range (measured: a 268 MB copy read 214 GB/s at one length but
+    585 GB/s at another). Timing lengths N and 3N and reporting
+    ``(t_3N - t_N) / 2N`` cancels every per-invocation cost by
+    construction. ``step_fn(q, *rest) -> array of q's shape`` (attention
+    output or dq), optionally ``(out, scalar_extra)`` to keep auxiliary
+    outputs alive against DCE.
     """
     eps = jnp.zeros((), jnp.float32)
 
-    @jax.jit
-    def chained(q, eps, *rest):
-        def body(carry, _):
-            out = step_fn(carry, *rest)
-            extra = jnp.zeros((), jnp.float32)
-            if isinstance(out, tuple):
-                # (primary, scalar_extra): the extra keeps auxiliary outputs
-                # (dk/dv) alive against DCE.
-                out, extra = out
-            # Traced-eps data dependence: not constant-foldable, numerically
-            # a no-op.
-            nxt = (
-                carry.astype(jnp.float32)
-                + out.astype(jnp.float32) * eps
-                + extra * eps
-            ).astype(carry.dtype)
-            return nxt, ()
-        final, _ = jax.lax.scan(body, q, None, length=iters)
-        return final
+    def make(length):
+        @jax.jit
+        def chained(q, eps, *rest):
+            def body(carry, _):
+                out = step_fn(carry, *rest)
+                extra = jnp.zeros((), jnp.float32)
+                if isinstance(out, tuple):
+                    out, extra = out
+                # Traced-eps data dependence: not constant-foldable,
+                # numerically a no-op.
+                nxt = (
+                    carry.astype(jnp.float32)
+                    + out.astype(jnp.float32) * eps
+                    + extra * eps
+                ).astype(carry.dtype)
+                return nxt, ()
 
-    out = chained(q, eps, *rest)
-    _sync(out)
-    t0 = time.perf_counter()
-    out = chained(q, eps, *rest)
-    _sync(out)
-    total_ms = (time.perf_counter() - t0) * 1e3
-    # Subtract the measured fixed invocation overhead so TFLOPS reflect the
-    # kernel; clamp at 60% of total for robustness.
-    overhead = min(_fixed_dispatch_overhead_ms(), 0.6 * total_ms)
-    return (total_ms - overhead) / iters
+            final, _ = jax.lax.scan(body, q, None, length=length)
+            return final
 
+        return chained
 
-_OVERHEAD_CACHE: list = []
-
-
-def _fixed_dispatch_overhead_ms() -> float:
-    """Measure the per-invocation dispatch overhead once (tiny no-op jit)."""
-    if _OVERHEAD_CACHE:
-        return _OVERHEAD_CACHE[0]
-    x = jnp.zeros((8, 128), jnp.float32)
-    f = jax.jit(lambda x: x + 1.0)
-    out = f(x)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = f(out)
+    def run_ms(fn) -> float:
+        out = fn(q, eps, *rest)  # compile + warmup
         _sync(out)
-    ms = (time.perf_counter() - t0) / 3 * 1e3
-    _OVERHEAD_CACHE.append(ms)
-    return ms
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn(q, eps, *rest)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        return best
+
+    def diff_ms(n: int) -> float:
+        t_short = run_ms(make(n))
+        t_long = run_ms(make(3 * n))
+        return max(t_long - t_short, 2e-3 * n) / (2 * n)
+
+    est = diff_ms(iters)
+    # If the measured span (2*iters*est) is small vs invocation noise
+    # (~few ms), redo at a length where real work dominates.
+    if 2 * iters * est < 100.0:
+        n = min(max(int(100.0 / max(est, 0.05)), iters), 2048)
+        return diff_ms(n)
+    return est
 
 
 def _ffpa_fwd_fn(case: BenchCase, backend: Optional[str]):
@@ -205,7 +205,11 @@ def _chunked_xla_sdpa(q, k, v, mask, *, causal: bool, chunk: int = 1024):
     scale = 1.0 / (d ** 0.5)
     offset = nkv - nq
 
+    @jax.checkpoint
     def one(idx):
+        # Remat per chunk: without it jax.grad stashes every chunk's fp32
+        # softmax as scan residuals (~9 GB at N=8192) and OOMs — remat is
+        # what a JAX user must do to backprop this composite at all.
         qc = jax.lax.dynamic_slice_in_dim(qp, idx * chunk, chunk, axis=2)
         s = jnp.einsum("bhqd,bhkd->bhqk", qc, k).astype(jnp.float32) * scale
         if mask is not None:
@@ -225,22 +229,25 @@ def _chunked_xla_sdpa(q, k, v, mask, *, causal: bool, chunk: int = 1024):
     return out[:, :, :nq]
 
 
-def _sdpa_fwd_fn(case: BenchCase):
-    """Stock XLA SDPA baseline (the analog of the reference's torch SDPA
-    baseline): ``jax.nn.dot_product_attention`` when the full scores tensor
-    fits HBM, else the query-chunked composite.
+def _sdpa_fwd_fn(case: BenchCase, variant: str):
+    """One stock-XLA SDPA baseline variant (the analog of the reference's
+    torch SDPA baseline). ``variant``:
 
+    * ``"dpa"`` — ``jax.nn.dot_product_attention`` (XLA's composite; only
+      viable when the full scores tensor fits HBM);
+    * ``"chunked"`` — the query-chunked fp32 composite with per-chunk remat.
+
+    ``run_case`` times both viable variants and scores FFPA against the
+    FASTER one, so the reported speedup is vs the best stock-XLA option.
     XLA's composite has no attention dropout; the dropout case is timed
     against the dropout-free baseline (conservative for our speedup).
     """
     hq = case.hq
-    scores_bytes = case.b * case.hq * case.nq * case.nkv * 4
-    use_chunked = scores_bytes > 2 * 1024**3
 
     def fn(q, k, v, mask):
         k_e = expand_kv_heads(k, hq)
         v_e = expand_kv_heads(v, hq)
-        if use_chunked:
+        if variant == "chunked":
             return _chunked_xla_sdpa(q, k_e, v_e, mask, causal=case.causal)
         out = jax.nn.dot_product_attention(
             jnp.swapaxes(q, 1, 2),
@@ -252,6 +259,13 @@ def _sdpa_fwd_fn(case: BenchCase):
         return jnp.swapaxes(out, 1, 2)
 
     return fn
+
+
+def _sdpa_variants(case: BenchCase) -> list[str]:
+    scores_bytes = case.b * case.hq * case.nq * case.nkv * 4
+    if scores_bytes > 2 * 1024**3:
+        return ["chunked"]
+    return ["dpa", "chunked"]
 
 
 def _grad_step(fwd_fn, has_mask: bool):
@@ -307,20 +321,28 @@ def run_case(
 ):
     q, k, v, mask, do = _inputs(case, dtype)
     ffpa_fwd = _ffpa_fwd_fn(case, backend)
-    sdpa_fwd = _sdpa_fwd_fn(case)
 
     has_mask = mask is not None
-    if direction == "fwd":
+
+    def fwd_step(fwd_fn):
         if has_mask:
-            ffpa_step = lambda q_, k_, v_, m_: ffpa_fwd(q_, k_, v_, m_)
-            sdpa_step = lambda q_, k_, v_, m_: sdpa_fwd(q_, k_, v_, m_)
-            rest = (k, v, mask)
-        else:
-            ffpa_step = lambda q_, k_, v_: ffpa_fwd(q_, k_, v_, None)
-            sdpa_step = lambda q_, k_, v_: sdpa_fwd(q_, k_, v_, None)
-            rest = (k, v)
-        t_ffpa = time_chained(ffpa_step, q, *rest, iters=iters)
-        t_sdpa = time_chained(sdpa_step, q, *rest, iters=iters)
+            return lambda q_, k_, v_, m_: fwd_fn(q_, k_, v_, m_)
+        return lambda q_, k_, v_: fwd_fn(q_, k_, v_, None)
+
+    def time_or_inf(step, *args):
+        try:
+            return time_chained(step, *args, iters=iters)
+        except Exception as exc:  # baseline variant OOM etc.
+            print(f"  [baseline variant failed: {str(exc)[:120]}]")
+            return float("inf")
+
+    if direction == "fwd":
+        rest = (k, v, mask) if has_mask else (k, v)
+        t_ffpa = time_chained(fwd_step(ffpa_fwd), q, *rest, iters=iters)
+        t_sdpa = min(
+            time_or_inf(fwd_step(_sdpa_fwd_fn(case, var)), q, *rest)
+            for var in _sdpa_variants(case)
+        )
     else:
         # jax.grad re-runs the forward inside the step, so subtract a
         # forward-only measurement to report the backward pass alone — the
@@ -328,22 +350,19 @@ def run_case(
         # (cli/_runner_bwd.py), and the 2.5x FLOPs model assumes that.
         rest = (k, v, mask, do) if has_mask else (k, v, do)
         fwd_rest = (k, v, mask) if has_mask else (k, v)
-        if has_mask:
-            ffpa_fwd_step = lambda q_, k_, v_, m_: ffpa_fwd(q_, k_, v_, m_)
-            sdpa_fwd_step = lambda q_, k_, v_, m_: sdpa_fwd(q_, k_, v_, m_)
-        else:
-            ffpa_fwd_step = lambda q_, k_, v_: ffpa_fwd(q_, k_, v_, None)
-            sdpa_fwd_step = lambda q_, k_, v_: sdpa_fwd(q_, k_, v_, None)
         t_ffpa_grad = time_chained(
             _grad_step(ffpa_fwd, has_mask), q, *rest, iters=iters
         )
-        t_ffpa_fwd = time_chained(ffpa_fwd_step, q, *fwd_rest, iters=iters)
-        t_sdpa_grad = time_chained(
-            _grad_step(sdpa_fwd, has_mask), q, *rest, iters=iters
-        )
-        t_sdpa_fwd = time_chained(sdpa_fwd_step, q, *fwd_rest, iters=iters)
+        t_ffpa_fwd = time_chained(fwd_step(ffpa_fwd), q, *fwd_rest, iters=iters)
         t_ffpa = max(t_ffpa_grad - t_ffpa_fwd, 1e-3)
-        t_sdpa = max(t_sdpa_grad - t_sdpa_fwd, 1e-3)
+        t_sdpa = float("inf")
+        for var in _sdpa_variants(case):
+            sdpa_fwd = _sdpa_fwd_fn(case, var)
+            t_grad = time_or_inf(_grad_step(sdpa_fwd, has_mask), q, *rest)
+            if t_grad == float("inf"):
+                continue
+            t_fwd = time_or_inf(fwd_step(sdpa_fwd), q, *fwd_rest)
+            t_sdpa = min(t_sdpa, max(t_grad - t_fwd, 1e-3))
 
     flops = attention_flops(
         case.b,
@@ -383,6 +402,53 @@ def to_markdown(rows) -> str:
     return "\n".join(lines)
 
 
+def save_plot(rows, path: str, title: str) -> Optional[str]:
+    """Grouped-bar TFLOPS comparison png (reference emits
+    ffpa_{device}_speedup.png, cli/_bench.py). Colors: validated categorical
+    slots 1-2 (blue/orange) from the dataviz reference palette; identity is
+    also carried by the legend, speedups by direct labels."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+
+    import numpy as np
+
+    labels = [f"{r['case']}\n{r['direction']}" for r in rows]
+    ffpa = [r["ffpa_tflops"] for r in rows]
+    sdpa = [r["sdpa_tflops"] for r in rows]
+    x = np.arange(len(rows))
+    w = 0.38
+
+    fig, ax = plt.subplots(figsize=(max(6.0, 1.1 * len(rows)), 3.6), dpi=150)
+    ax.bar(x - w / 2, ffpa, w, label="FFPA-TPU", color="#2a78d6",
+           edgecolor="white", linewidth=1.0)
+    ax.bar(x + w / 2, sdpa, w, label="XLA SDPA", color="#eb6834",
+           edgecolor="white", linewidth=1.0)
+    for xi, r in zip(x, rows):
+        ax.annotate(
+            f"{r['speedup']:.2f}x",
+            (xi - w / 2, r["ffpa_tflops"]),
+            textcoords="offset points", xytext=(0, 3),
+            ha="center", fontsize=7, color="#333333",
+        )
+    ax.set_ylabel("TFLOPS")
+    ax.set_title(title, fontsize=10)
+    ax.set_xticks(x, labels, fontsize=7)
+    ax.tick_params(axis="y", labelsize=7)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#dddddd", linewidth=0.5, zorder=0)
+    ax.set_axisbelow(True)
+    ax.legend(frameon=False, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m ffpa_attn_tpu.bench",
@@ -404,6 +470,11 @@ def main(argv=None) -> int:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--json", action="store_true", help="emit JSON lines")
     parser.add_argument("--output", default=None, help="markdown output path")
+    parser.add_argument(
+        "--plot", default=None,
+        help="png output path (default: ffpa_{device}_speedup.png next to "
+        "--output, or skip when neither is given)",
+    )
     args = parser.parse_args(argv)
 
     rows = []
@@ -442,4 +513,22 @@ def main(argv=None) -> int:
             f.write(md + "\n")
     else:
         print("\n" + md)
+
+    plot_path = args.plot
+    if plot_path is None and args.output:
+        from ..autotune.store import current_device_kind, sanitize_device_kind
+
+        device = sanitize_device_kind(current_device_kind())
+        plot_path = str(
+            __import__("pathlib").Path(args.output).with_name(
+                f"ffpa_{device}_speedup.png"
+            )
+        )
+    if plot_path and rows:
+        shape = rows[0]["shape"]
+        written = save_plot(
+            rows, plot_path, f"FFPA-TPU vs XLA SDPA — {shape}"
+        )
+        if written:
+            print(f"plot written: {written}")
     return 0
