@@ -475,7 +475,17 @@ def main(argv=None) -> int:
         help="png output path (default: ffpa_{device}_speedup.png next to "
         "--output, or skip when neither is given)",
     )
+    parser.add_argument(
+        "--e2e", action="store_true",
+        help="run end-to-end train/decode tokens-per-second benchmarks "
+        "instead of the kernel cases",
+    )
     args = parser.parse_args(argv)
+
+    if args.e2e:
+        from ._e2e import main as e2e_main
+
+        return e2e_main()
 
     rows = []
     for dtype_name in args.dtypes:

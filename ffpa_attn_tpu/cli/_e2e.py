@@ -1,0 +1,101 @@
+"""End-to-end tokens/s benchmarks on the flagship FFPA transformer.
+
+BASELINE.md requires tokens/s reporting (1 chip / 1 host / multi-host).
+Two measurements on the current device set:
+
+* ``train``: jitted train step (loss + grads + optax update) on the
+  flagship config — tokens/s = B * N / step_time.
+* ``decode``: KV-cache autoregressive generation after a prefill —
+  tokens/s = generated tokens / loop time (scan-chained decode steps, so
+  per-invocation dispatch overhead amortizes across the whole generation).
+
+The reference's analog is its E2E Gemma training validation
+(reference README.md:122); decode serving throughput has no reference
+analog (single-kernel bench only) but is the number TPU users deploy by.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_train(
+    *, b=1, n=8192, d_model=1024, n_layers=4, n_heads=8, n_kv_heads=4,
+    head_dim=512, vocab=32000, steps=3,
+) -> dict:
+    import optax
+
+    from ..models import ModelConfig, init_params, make_train_step
+
+    cfg = ModelConfig(
+        vocab_size=vocab, d_model=d_model, n_layers=n_layers,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        max_seq_len=n,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, n + 1), 0, vocab)
+    step = make_train_step(cfg, opt)
+
+    from ._bench import _sync
+
+    params, opt_state, loss = step(params, opt_state, tokens)  # compile
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    _sync(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "metric": "train_tokens_per_s",
+        "value": round(b * n / dt, 1),
+        "unit": "tokens/s",
+        "config": f"L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} Dh{head_dim} N{n} B{b}",
+        "step_ms": round(dt * 1e3, 2),
+        "loss": float(loss),
+    }
+
+
+def bench_decode(
+    *, b=1, prompt_len=4096, gen_len=128, d_model=1024, n_layers=4,
+    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000,
+) -> dict:
+    from ..models import ModelConfig, generate, init_params
+
+    cfg = ModelConfig(
+        vocab_size=vocab, d_model=d_model, n_layers=n_layers,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        max_seq_len=prompt_len + gen_len,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (b, prompt_len), 0, vocab)
+
+    from ._bench import _sync
+
+    out = generate(params, prompt, gen_len, cfg)  # compile + warmup
+    _sync(out)
+    t0 = time.perf_counter()
+    out = generate(params, prompt, gen_len, cfg)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "decode_tokens_per_s",
+        "value": round(b * gen_len / dt, 1),
+        "unit": "tokens/s",
+        "config": f"L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} Dh{head_dim} prompt{prompt_len} gen{gen_len} B{b}",
+        "total_s": round(dt, 3),
+    }
+
+
+def main(argv=None) -> int:
+    for fn in (bench_train, bench_decode):
+        try:
+            print(json.dumps(fn()))
+        except Exception as exc:
+            print(json.dumps({"metric": fn.__name__, "error": str(exc)[:300]}))
+    return 0

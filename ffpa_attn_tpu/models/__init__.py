@@ -5,6 +5,7 @@ The reference validates E2E with Gemma4-31B layers at D=512 under FSDP
 an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
 """
 
+from .generate import decode_step, generate, init_kv_cache, prefill
 from .transformer import (
     ModelConfig,
     init_params,
@@ -21,4 +22,8 @@ __all__ = [
     "loss_fn",
     "make_train_step",
     "shard_params",
+    "init_kv_cache",
+    "prefill",
+    "decode_step",
+    "generate",
 ]

@@ -79,14 +79,17 @@ def fwd_vmem_bytes(
 ) -> int:
     """Estimated VMEM for one forward grid cell (double-buffered streams).
 
-    Q tile + 2x(K tile + V tile) + scores fp32 + m/l/acc scratch + output.
+    All grid-mapped blocks are double-buffered by Mosaic — Q and O blocks
+    change with the (parallel) q-grid dim, K/V/bias with the kv dim
+    (calibrated against a measured 16.15M OOM at (1024,512)+bias where the
+    single-buffer model predicted 13.2M).
     """
     bq, bkv = cfg.block_q, cfg.block_kv
-    q_tile = bq * d * itemsize
+    q_tile = 2 * bq * d * itemsize
     kv_tiles = 2 * (bkv * d + bkv * dv) * itemsize
     scores = bq * bkv * 4
     scratch = bq * LANE * 4 * 2 + bq * dv * 4  # m, l, acc
-    out = bq * dv * itemsize
+    out = 2 * bq * dv * itemsize
     bias = 2 * bq * bkv * 4 if has_bias else 0
     return q_tile + kv_tiles + scores + scratch + out + bias
 

@@ -8,10 +8,13 @@ wrappers whose collectives (ppermute / psum) compile onto ICI.
 from .mesh import make_mesh
 from .ring import ring_attention, ring_attention_sharded
 from .tp import head_parallel_attention
+from .ulysses import ulysses_attention, ulysses_attention_sharded
 
 __all__ = [
     "make_mesh",
     "ring_attention",
     "ring_attention_sharded",
     "head_parallel_attention",
+    "ulysses_attention",
+    "ulysses_attention_sharded",
 ]

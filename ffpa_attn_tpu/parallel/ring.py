@@ -263,6 +263,6 @@ def ring_attention_sharded(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return sharded(q, k, v)

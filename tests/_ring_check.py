@@ -25,6 +25,7 @@ from ffpa_attn_tpu.parallel import (
     head_parallel_attention,
     make_mesh,
     ring_attention_sharded,
+    ulysses_attention_sharded,
 )
 
 TOL = 5e-2
@@ -86,6 +87,23 @@ def main():
     mesh_tp = make_mesh((4,), ("tp",))
     got = head_parallel_attention(q, k, v, mesh_tp, head_axis="tp", is_causal=True)
     check("tp heads", got, want)
+
+    # --- Ulysses all-to-all SP: fwd + bwd ---
+    mesh_sp = make_mesh((4,), ("sp",))
+    for causal in (False, True):
+        got = ulysses_attention_sharded(
+            q, k, v, mesh_sp, seq_axis="sp", causal=causal
+        )
+        want_u = reference_attention(q, k, v, None, is_causal=causal, scale=scale)
+        check(f"ulysses(causal={causal})", got, want_u)
+
+    def uly_loss(q_, k_, v_):
+        o = ulysses_attention_sharded(q_, k_, v_, mesh_sp, seq_axis="sp", causal=True)
+        return (o.astype(jnp.float32) * do.astype(jnp.float32)).sum()
+
+    g = jax.grad(uly_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, gr, name in zip(g, g_ref, ["dq", "dk", "dv"]):
+        check(f"ulysses bwd {name}", gi, gr)
 
     # --- multichip dry run (full train step over dp x tp x sp) ---
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -48,3 +48,39 @@ def test_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_generate_matches_full_forward():
+    """KV-cache decode must reproduce teacher-forced argmax tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from ffpa_attn_tpu.models import (
+        ModelConfig,
+        forward,
+        generate,
+        init_params,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=128,
+        d_model=64,
+        n_layers=2,
+        n_heads=2,
+        n_kv_heads=1,
+        head_dim=320,
+        max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 160), 0, 128)
+    steps = 4
+    got = generate(params, prompt, steps, cfg, max_len=256)
+
+    seq = prompt
+    for i in range(steps):
+        logits = forward(params, seq, cfg)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        assert int(nxt[0]) == int(got[0, i]), (
+            f"step {i}: cache={int(got[0, i])} full={int(nxt[0])}"
+        )
+        seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
