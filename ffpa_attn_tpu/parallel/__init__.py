@@ -9,6 +9,7 @@ from .mesh import make_mesh
 from .ring import ring_attention, ring_attention_sharded
 from .tp import head_parallel_attention
 from .ulysses import ulysses_attention, ulysses_attention_sharded
+from .zigzag import zigzag_ring_attention_sharded
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,5 @@ __all__ = [
     "head_parallel_attention",
     "ulysses_attention",
     "ulysses_attention_sharded",
+    "zigzag_ring_attention_sharded",
 ]

@@ -105,6 +105,30 @@ def main():
     for gi, gr, name in zip(g, g_ref, ["dq", "dk", "dv"]):
         check(f"ulysses bwd {name}", gi, gr)
 
+    # --- zigzag load-balanced causal ring: fwd + bwd (incl. GQA KV) ---
+    from ffpa_attn_tpu.parallel import zigzag_ring_attention_sharded
+
+    got = zigzag_ring_attention_sharded(q, k, v, mesh_sp, seq_axis="sp")
+    want_z = reference_attention(q, k, v, None, is_causal=True, scale=scale)
+    check("zigzag causal", got, want_z)
+
+    def zz_loss(q_, k_, v_):
+        o = zigzag_ring_attention_sharded(q_, k_, v_, mesh_sp, seq_axis="sp")
+        return (o.astype(jnp.float32) * do.astype(jnp.float32)).sum()
+
+    g = jax.grad(zz_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, gr, name in zip(g, g_ref, ["dq", "dk", "dv"]):
+        check(f"zigzag bwd {name}", gi, gr)
+
+    kg = jax.random.normal(kk, (b, 2, n, d), dtype=dtype)
+    vg = jax.random.normal(kv, (b, 2, n, d), dtype=dtype)
+    got = zigzag_ring_attention_sharded(q, kg, vg, mesh_sp, seq_axis="sp")
+    want_g = reference_attention(
+        q, expand_kv_heads(kg, h), expand_kv_heads(vg, h), None,
+        is_causal=True, scale=scale,
+    )
+    check("zigzag gqa", got, want_g)
+
     # --- multichip dry run (full train step over dp x tp x sp) ---
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__

@@ -34,3 +34,25 @@ def test_ring_and_tp_on_cpu_mesh():
         f"ring check failed\nstdout:\n{result.stdout}\nstderr:\n{result.stderr[-3000:]}"
     )
     assert "ALL RING CHECKS PASSED" in result.stdout
+
+
+def test_zigzag_shuffle_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ffpa_attn_tpu.parallel.zigzag import zigzag_shuffle, zigzag_unshuffle
+
+    x = jnp.arange(2 * 3 * 16 * 4).reshape(2, 3, 16, 4)
+    for s in (2, 4):
+        z = zigzag_shuffle(x, s)
+        back = zigzag_unshuffle(z, s)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+        # chip s's first chunk is natural chunk s, second is 2S-1-s
+        c = 16 // (2 * s)
+        zc = np.asarray(z).reshape(2, 3, 2 * s, c, 4)
+        xc = np.asarray(x).reshape(2, 3, 2 * s, c, 4)
+        for i in range(s):
+            np.testing.assert_array_equal(zc[:, :, 2 * i], xc[:, :, i])
+            np.testing.assert_array_equal(
+                zc[:, :, 2 * i + 1], xc[:, :, 2 * s - 1 - i]
+            )
