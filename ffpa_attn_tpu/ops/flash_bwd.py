@@ -68,6 +68,7 @@ def _recompute_ds(
     row_start,
     col_start,
     bias=None,
+    col_offset=0,
 ):
     """Shared tile math: returns (p_dropped, ds) both (bq, bkv) fp32.
 
@@ -101,7 +102,12 @@ def _recompute_ds(
     )
 
     if dropout_p > 0.0:
-        keep = dropout_keep_mask(seed, b_idx, h_idx, rows, cols, dropout_p)
+        # col_offset: KV-striped launches index a slice of the global KV
+        # axis; the dropout hash must see GLOBAL column ids to replay the
+        # forward mask bit-identically.
+        keep = dropout_keep_mask(
+            seed, b_idx, h_idx, rows, cols + col_offset, dropout_p
+        )
         inv = jnp.float32(1.0 / (1.0 - dropout_p))
         p_dropped = jnp.where(keep, p, 0.0) * inv
         dp_eff = jnp.where(keep, dp, 0.0) * inv
@@ -144,6 +150,7 @@ def _dkdv_kernel(
     num_q_blocks,
     has_bias,
     emit_ds,
+    col_offset=0,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -194,6 +201,7 @@ def _dkdv_kernel(
             row_start=i * bq,
             col_start=j * bkv,
             bias=bias,
+            col_offset=col_offset,
         )
 
         # dV += P_drop^T @ dO   — (bkv, bq) @ (bq, Dv)
@@ -401,37 +409,87 @@ def flash_attention_backward(
 
     causal_offset = nkv - nq
 
-    if ds_handoff is None:
-        from ..env import ENV
+    # Handoff decision + KV striping: the dS buffer is bounded by the env
+    # budget; when the full [B,Hq,Nq,Nkv] doesn't fit, process KV in
+    # bkv-aligned stripes — each stripe emits its dS slab, contributes its
+    # dK/dV slice, and folds into dQ via one einsum — so the recompute-free
+    # scheme extends to arbitrary sequence lengths with O(limit) memory.
+    from ..env import ENV
 
-        bq_h, bkv_h = config.block_q_dkdv, config.block_kv_dkdv
-        ds_bytes = (
-            b * hq * cdiv(nq, bq_h) * bq_h * cdiv(nkv, bkv_h) * bkv_h
-            * jnp.dtype(q.dtype).itemsize
-        )
-        ds_handoff = ds_bytes <= ENV.ds_handoff_limit_bytes()
+    itemsize = jnp.dtype(q.dtype).itemsize
+    limit = ENV.ds_handoff_limit_bytes()
+    bq_h, bkv_h0 = config.block_q_dkdv, config.block_kv_dkdv
+    ds_bytes = (
+        b * hq * cdiv(nq, bq_h) * bq_h * cdiv(nkv, bkv_h0) * bkv_h0 * itemsize
+    )
+    if ds_handoff is None:
+        ds_handoff = limit > 0 and ds_bytes <= 8 * limit
     ds_handoff = ds_handoff and run_dkdv and run_dq
     if ds_handoff:
         config = _fit_dkdv_for_ds(config, d, dv_dim, q.dtype, bias is not None)
 
+    if ds_handoff:
+        bkv_h = config.block_kv_dkdv
+        n_stripes = max(1, cdiv(ds_bytes, max(limit, 1)))
+        stripe_cols = cdiv(cdiv(nkv, n_stripes), bkv_h) * bkv_h
+        dq_dtype = _grad_dtype(grad_q_storage_dtype, q.dtype)
+        dq_acc = None
+        dk_parts, dv_parts, dbias_parts = [], [], []
+        for lo in range(0, nkv, stripe_cols):
+            hi = min(nkv, lo + stripe_cols)
+            k_s = k[:, :, lo:hi] if (lo, hi) != (0, nkv) else k
+            v_s = v[:, :, lo:hi] if (lo, hi) != (0, nkv) else v
+            bias_s = bias
+            if bias is not None and bias.shape[3] != 1:
+                bias_s = bias[:, :, :, lo:hi]
+            dk_s, dv_s, ds_s = _dkdv_launch(
+                q, k_s, v_s, bias_s, do, lse, delta, seed_arr, config,
+                scale=scale, is_causal=is_causal,
+                causal_offset=causal_offset - lo,
+                dropout_p=dropout_p, group=group,
+                grad_kv_storage_dtype=grad_kv_storage_dtype,
+                interpret=interpret, emit_ds=True, col_offset=lo,
+            )
+            dk_parts.append(dk_s)
+            dv_parts.append(dv_s)
+            dq_s, dbias_s = _dq_from_ds(
+                ds_s, k_s, bias_s,
+                scale=scale, group=group, nq=nq, nkv=hi - lo,
+                dq_dtype=jnp.float32,
+            )
+            dq_acc = dq_s if dq_acc is None else dq_acc + dq_s
+            if dbias_s is not None:
+                dbias_parts.append(dbias_s)
+        dq = dq_acc.astype(dq_dtype)
+        dk = dk_parts[0] if len(dk_parts) == 1 else jnp.concatenate(dk_parts, axis=2)
+        dv = dv_parts[0] if len(dv_parts) == 1 else jnp.concatenate(dv_parts, axis=2)
+        dbias = None
+        if bias is not None:
+            if bias.shape[3] != 1:
+                dbias = (
+                    dbias_parts[0]
+                    if len(dbias_parts) == 1
+                    else jnp.concatenate(dbias_parts, axis=3)
+                )
+            else:
+                dbias = dbias_parts[0]
+                for p in dbias_parts[1:]:
+                    dbias = dbias + p
+            dbias = dbias.astype(bias.dtype)
+        return dq, dk, dv, dbias
+
     if run_dkdv:
-        dk, dv, ds_full = _dkdv_launch(
+        dk, dv, _ = _dkdv_launch(
             q, k, v, bias, do, lse, delta, seed_arr, config,
             scale=scale, is_causal=is_causal, causal_offset=causal_offset,
             dropout_p=dropout_p, group=group,
             grad_kv_storage_dtype=grad_kv_storage_dtype,
-            interpret=interpret, emit_ds=ds_handoff,
+            interpret=interpret, emit_ds=False,
         )
     else:
-        dk = dv = ds_full = None
+        dk = dv = None
 
-    if ds_handoff:
-        dq, dbias = _dq_from_ds(
-            ds_full, k, bias,
-            scale=scale, group=group, nq=nq, nkv=nkv,
-            dq_dtype=_grad_dtype(grad_q_storage_dtype, q.dtype),
-        )
-    elif run_dq:
+    if run_dq:
         dq, dbias = _dq_launch(
             q, k, v, bias, do, lse, delta, seed_arr, config,
             scale=scale, is_causal=is_causal, causal_offset=causal_offset,
@@ -506,7 +564,7 @@ def _dq_from_ds(ds_full, k, bias, *, scale, group, nq, nkv, dq_dtype):
 def _dkdv_launch(
     q, k, v, bias, do, lse, delta, seed_arr, config,
     *, scale, is_causal, causal_offset, dropout_p, group,
-    grad_kv_storage_dtype, interpret, emit_ds=False,
+    grad_kv_storage_dtype, interpret, emit_ds=False, col_offset=0,
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -578,6 +636,7 @@ def _dkdv_launch(
         num_q_blocks=num_q_blocks,
         has_bias=has_bias,
         emit_ds=emit_ds,
+        col_offset=col_offset,
     )
 
     dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)

@@ -190,6 +190,13 @@ def test_bwd_ds_handoff_matches_recompute(causal, group):
         )
 
 
+def _assert_rel_close(got, ref, name, tol=1e-2):
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    rel = np.max(np.abs(g - r)) / (np.max(np.abs(r)) + 1e-9)
+    assert rel < tol, (name, rel)
+
+
 def test_bwd_ds_handoff_bias_grad():
     """dbias through the handoff (sum of bf16 dS) stays within the numerics
     contract vs the fp32-dS recompute path."""
@@ -216,3 +223,36 @@ def test_bwd_ds_handoff_bias_grad():
         np.asarray(got[3], np.float32), np.asarray(ref[3], np.float32),
         rtol=5e-2, atol=5e-2, err_msg="dbias",
     )
+
+
+def test_bwd_ds_handoff_striped(monkeypatch):
+    """KV-striped handoff (budget smaller than dS) matches the recompute
+    path; dropout replay must use GLOBAL column ids across stripes."""
+    import os
+
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    monkeypatch.setenv(
+        "FFPA_TPU_DS_HANDOFF_LIMIT_BYTES", str(2 * 4 * 384 * 256 * 2)
+    )
+    dtype = jnp.bfloat16
+    b, hq, nq, nkv, d = 1, 2, 256, 768, 320
+    q, k, v, do = _make(b, hq, hq, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=True, dropout_p=0.1,
+        dropout_seed=3,
+    )
+    ref = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=True,
+        dropout_p=0.1, dropout_seed=3, ds_handoff=False,
+    )
+    got = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=True,
+        dropout_p=0.1, dropout_seed=3, ds_handoff=True,
+    )
+    # Striped dq sums per-stripe fp32 einsums in a different order than the
+    # kernel's sequential accumulation — tolerance, not bit-equality.
+    for name, r, g in zip(("dq", "dk", "dv"), ref, got):
+        _assert_rel_close(g, r, name)
