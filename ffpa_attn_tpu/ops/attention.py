@@ -123,6 +123,46 @@ def _core_bwd(static: StaticArgs, residuals, do):
 ffpa_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+_AUTOTUNE_CACHE: dict = {}
+
+
+def _online_autotune(direction, q, k, v, bias, meta, mode):
+    """Per-call timed search (reference ``autotune=True``,
+    TritonBackend/functional.py:291-335). Runs eagerly on concrete arrays
+    and memoizes by variant key; under jit tracing no timing is possible,
+    so fall back to the persistent-store/heuristic path with a one-time
+    warning (the reference's torch-op launch is always eager; JAX is not).
+    """
+    import jax.core
+
+    from ..logger import init_logger
+
+    logger = init_logger(__name__)
+    if any(isinstance(t, jax.core.Tracer) for t in (q, k, v)):
+        logger.warning_once(
+            "autotune=True inside jit tracing: cannot time candidates; "
+            "using persistent-store/heuristic config. Run the call once "
+            "eagerly (or `python -m ffpa_attn_tpu.autotune`) to tune."
+        )
+        return None
+    key = (
+        direction, q.shape, k.shape, v.shape, str(q.dtype),
+        None if bias is None else bias.shape,
+        meta.is_causal, meta.dropout_p > 0.0, mode,
+    )
+    if key in _AUTOTUNE_CACHE:
+        return _AUTOTUNE_CACHE[key]
+    from ..autotune.search import autotune_backward, autotune_forward
+
+    tune = autotune_forward if direction == "fwd" else autotune_backward
+    cfg, _ = tune(
+        q, k, v, bias, scale=meta.scale, is_causal=meta.is_causal,
+        dropout_p=meta.dropout_p, mode=mode,
+    )
+    _AUTOTUNE_CACHE[key] = cfg
+    return cfg
+
+
 def apply_attention(
     meta: AttentionMeta,
     q,
@@ -164,6 +204,10 @@ def apply_attention(
                 block_q=fwd_be.block_q or base.block_q,
                 block_kv=fwd_be.block_kv or base.block_kv,
             )
+        elif fwd_be.autotune:
+            fwd_config = _online_autotune(
+                "fwd", q, k, v, bias, meta, fwd_be.autotune_mode
+            )
     bwd_config = None
     grad_kv_dtype = None
     grad_q_dtype = None
@@ -175,6 +219,10 @@ def apply_attention(
             bwd_config = BlockConfig(
                 block_kv_dkdv=bwd_be.block_kv_dkdv or base.block_kv_dkdv,
                 block_q_dq=bwd_be.block_q_dq or base.block_q_dq,
+            )
+        elif bwd_be.autotune:
+            bwd_config = _online_autotune(
+                "bwd", q, k, v, bias, meta, bwd_be.autotune_mode
             )
         grad_kv_dtype = bwd_be.grad_kv_storage_dtype
         grad_q_dtype = bwd_be.grad_q_storage_dtype

@@ -104,9 +104,11 @@ def _recompute_ds(
     if dropout_p > 0.0:
         # col_offset: KV-striped launches index a slice of the global KV
         # axis; the dropout hash must see GLOBAL column ids to replay the
-        # forward mask bit-identically.
+        # forward mask bit-identically. (bq,1)x(1,bkv) grids keep all but
+        # the final hash combine off the full tile.
         keep = dropout_keep_mask(
-            seed, b_idx, h_idx, rows, cols + col_offset, dropout_p
+            seed, b_idx, h_idx, rows[:, :1], cols[:1, :] + col_offset,
+            dropout_p,
         )
         inv = jnp.float32(1.0 / (1.0 - dropout_p))
         p_dropped = jnp.where(keep, p, 0.0) * inv

@@ -151,8 +151,13 @@ def _fwd_kernel(
         l_scr[...] = l_next
 
         if dropout_p > 0.0:
+            # (bq,1) rows x (1,bkv) cols: the row-fold broadcasts, so only
+            # the final hash combine is full-tile VPU work (bit-identical
+            # to folding full-size grids — values don't vary along the
+            # broadcast axis).
             keep = dropout_keep_mask(
-                seed_ref[0, 0], b_idx, h_idx, rows, cols, dropout_p
+                seed_ref[0, 0], b_idx, h_idx, rows[:, :1], cols[:1, :],
+                dropout_p,
             )
             p = jnp.where(keep, p, 0.0) * jnp.float32(1.0 / (1.0 - dropout_p))
 

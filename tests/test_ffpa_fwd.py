@@ -153,3 +153,29 @@ def test_error_taxonomy():
     q3, k3, v3 = _make_qkv(1, 4, 2, 256, 256, 320, dtype)
     with pytest.raises(ValueError):
         ffpa_attn_func(q3, k3, v3)
+
+
+def test_autotune_backend_api(monkeypatch):
+    """PallasBackend(autotune=True) runs the timed search eagerly and the
+    result matches the oracle; under jit it falls back with a warning."""
+    import jax
+    import numpy as np
+
+    from ffpa_attn_tpu import PallasBackend
+
+    monkeypatch.setenv("FFPA_TPU_AUTOTUNE_MAX_CONFIGS", "2")
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 320), jnp.bfloat16)
+    ref = reference_attention(q, q, q, None, scale=320**-0.5)
+
+    o = ffpa_attn_func(q, q, q, backend=PallasBackend(autotune=True))
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    o2 = jax.jit(
+        lambda q_: ffpa_attn_func(q_, q_, q_, backend=PallasBackend(autotune=True))
+    )(q)
+    np.testing.assert_allclose(
+        np.asarray(o2, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
