@@ -454,11 +454,26 @@ def flash_attention_backward(
             )
             dk_parts.append(dk_s)
             dv_parts.append(dv_s)
-            dq_s, dbias_s = _dq_from_ds(
-                ds_s, k_s, bias_s,
-                scale=scale, group=group, nq=nq, nkv=hi - lo,
-                dq_dtype=jnp.float32,
-            )
+            if is_causal:
+                # Banded kernel: above-diagonal dS tiles are skipped
+                # (the XLA einsum would burn the full N^2).
+                dq_s = _banded_dq_from_ds(
+                    ds_s, k_s, config,
+                    scale=scale, group=group, nq=nq, nkv=hi - lo,
+                    causal_offset=causal_offset - lo,
+                    dq_dtype=jnp.float32, interpret=interpret,
+                )
+                dbias_s = None
+                if bias is not None:
+                    dbias_s = _dbias_from_ds(
+                        ds_s[:, :, :nq, : hi - lo], bias
+                    )
+            else:
+                dq_s, dbias_s = _dq_from_ds(
+                    ds_s, k_s, bias_s,
+                    scale=scale, group=group, nq=nq, nkv=hi - lo,
+                    dq_dtype=jnp.float32,
+                )
             dq_acc = dq_s if dq_acc is None else dq_acc + dq_s
             if dbias_s is not None:
                 dbias_parts.append(dbias_s)
@@ -529,6 +544,124 @@ def _fit_dkdv_for_ds(config: BlockConfig, d, dv, dtype, has_bias) -> BlockConfig
         else:
             break
     return cfg
+
+
+def _banded_dq_kernel(
+    ds_ref,  # (1, 1, bq, bkv)
+    k_ref,  # (1, 1, bkv, D)
+    dq_ref,  # (1, 1, bq, D) out
+    dq_scr,  # VMEM (bq, D) f32
+    *,
+    scale,
+    causal_offset,
+    num_kv_blocks,
+):
+    """dQ += scale * dS @ K with causal tile skipping — the handoff's dQ
+    matmul as a Pallas kernel so above-diagonal dS tiles cost neither
+    bandwidth (index-map clamp elides the DMA) nor MXU time."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    bq = ds_ref.shape[2]
+    bkv = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
+
+    @pl.when(should_run)
+    def _compute():
+        ds = ds_ref[0, 0]
+        k = k_ref[0, 0]
+        dq_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _banded_dq_from_ds(
+    ds_full, k, config, *, scale, group, nq, nkv, causal_offset, dq_dtype,
+    interpret,
+):
+    """Causal dQ from handed-off dS via the tile-skipping kernel.
+
+    ``ds_full`` is [B, Hq, nq_pad, nkv_pad] (the dkdv launch's padded
+    grid); padded regions hold zeros. ``causal_offset`` is the LOCAL
+    offset of this KV stripe (global offset minus stripe start).
+    """
+    b, hq, nq_pad, nkv_pad = ds_full.shape
+    d = k.shape[-1]
+    bkv = config.block_kv_dkdv
+    # Tall Q panels: the kernel's K re-read factor is nq/bq and its VMEM
+    # needs are small (no scores/softmax), so take the largest panel that
+    # divides the dS grid and fits the budget.
+    from ..env import ENV
+
+    limit = ENV.vmem_limit_bytes()
+    bq = config.block_q_dkdv
+    for cand in (4096, 2048, 1024):
+        vmem = (
+            2 * cand * bkv * ds_full.dtype.itemsize  # ds blocks
+            + 2 * bkv * d * k.dtype.itemsize  # k blocks
+            + cand * d * 4  # dq scratch
+            + 2 * cand * d * 4  # dq out blocks
+        )
+        if cand > bq and nq_pad % cand == 0 and vmem <= limit:
+            bq = cand
+            break
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+    k_p = _pad_dim(k, 2, nkv_pad)
+
+    def kvj_index(b_, h, i, j, bq=bq, bkv=bkv, off=causal_offset):
+        j_max = ((i + 1) * bq - 1 + off) // bkv
+        return jnp.minimum(j, jnp.maximum(j_max, 0))
+
+    kernel = functools.partial(
+        _banded_dq_kernel,
+        scale=scale,
+        causal_offset=causal_offset,
+        num_kv_blocks=num_kv_blocks,
+    )
+    dq = pl.pallas_call(
+        kernel,
+        grid=(b, hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, bkv),
+                lambda b_, h, i, j: (b_, h, i, kvj_index(b_, h, i, j)),
+            ),
+            pl.BlockSpec(
+                (1, 1, bkv, d),
+                lambda b_, h, i, j, g=group: (
+                    b_, h // g, kvj_index(b_, h, i, j), 0
+                ),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0))
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, hq, nq_pad, d), dq_dtype)],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ds_full, k_p)[0]
+    return dq[:, :, :nq]
+
+
+def _dbias_from_ds(ds_c, bias):
+    """Bias gradient: sum the (cropped) score gradient over the bias's
+    broadcast axes (reference aten/_efficient_bwd.py:185-186)."""
+    dbias_full = ds_c.astype(jnp.float32)
+    axes = tuple(ax for ax, sz in enumerate(bias.shape) if sz == 1)
+    return dbias_full.sum(axis=axes, keepdims=True) if axes else dbias_full
 
 
 def _dq_from_ds(ds_full, k, bias, *, scale, group, nq, nkv, dq_dtype):
