@@ -119,6 +119,24 @@ def ffpa_attn_func(
     ameta, query, key, value, bias = meta.normalize(
         query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa
     )
+    if query.dtype == jnp.float16:
+        # TPU MXU/Mosaic has no native f16; compute in bf16 (accumulation
+        # is fp32 in-kernel either way, so only the input/output rounding
+        # differs) and cast back. Documented deviation from the GPU
+        # reference, which runs f16 natively.
+        logger.warning_once(
+            "float16 inputs: computing in bfloat16 on TPU (fp32 "
+            "accumulation unchanged); outputs are cast back to float16"
+        )
+        out = apply_attention(
+            ameta,
+            query.astype(jnp.bfloat16),
+            key.astype(jnp.bfloat16),
+            value.astype(jnp.bfloat16),
+            bias,
+            dropout_seed,
+        )
+        return out.astype(jnp.float16)
     return apply_attention(ameta, query, key, value, bias, dropout_seed)
 
 

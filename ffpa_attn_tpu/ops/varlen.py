@@ -120,12 +120,74 @@ def _varlen_mask(q_seg, q_rank, k_seg, k_pos, causal: bool):
     return keep
 
 
+_BIG = jnp.int32(2**30)
+
+
+def _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal):
+    """Per-(q-tile, kv-tile) visibility + a monotone load schedule.
+
+    The TPU answer to the reference's varlen TileScheduler
+    (cute/utils/tile_scheduler.py): instead of data-dependent grid
+    dispatch, compute outside the kernel (cheap O(T) reductions)
+
+    ``needed [nqb, nkb]`` is False only when the tile is PROVABLY fully
+    masked (segment ranges disjoint, or causal with every k position past
+    every q rank) — conservatively correct for any packing.
+    ``_interval_schedule`` turns it into per-row clamp bounds so skipped
+    tiles cost neither bandwidth (DMA elided on the clamped repeat) nor
+    MXU time (kernel range test).
+    """
+    nqb = q_seg.shape[0] // bq
+    nkb = k_seg.shape[0] // bkv
+    qs = q_seg.reshape(nqb, bq)
+    qr = jnp.where(qs >= 0, q_rank.reshape(nqb, bq), -_BIG)
+    ks = k_seg.reshape(nkb, bkv)
+    kp = jnp.where(ks >= 0, k_pos.reshape(nkb, bkv), _BIG)
+
+    q_seg_min = jnp.where(qs >= 0, qs, _BIG).min(axis=1)  # [nqb]
+    q_seg_max = jnp.where(qs >= 0, qs, -_BIG).max(axis=1)
+    q_rank_max = qr.max(axis=1)
+    k_seg_min = jnp.where(ks >= 0, ks, _BIG).min(axis=1)  # [nkb]
+    k_seg_max = jnp.where(ks >= 0, ks, -_BIG).max(axis=1)
+    k_pos_min = kp.min(axis=1)
+
+    overlap = (k_seg_min[None, :] <= q_seg_max[:, None]) & (
+        k_seg_max[None, :] >= q_seg_min[:, None]
+    )
+    needed = overlap
+    if causal:
+        needed = needed & (k_pos_min[None, :] <= q_rank_max[:, None])
+    return needed
+
+
+def _interval_schedule(needed):
+    """Per-row [lo, hi] bounds of the needed columns (packed THD layouts
+    make the needed set contiguous per row). Index maps clamp the streamed
+    block index into the interval — out-of-range grid steps repeat a
+    boundary block, so Mosaic elides their DMA — and the kernel skips
+    compute outside the range. Empty rows collapse to [0, 0] (no compute).
+
+    Chosen over a per-(row, col) load list: reading 2-D scalar-prefetch
+    arrays inside index maps mis-executed intermittently on v5e
+    (~1-in-6 INVALID_ARGUMENT across repeated executions); per-row scalar
+    clamps measured equally fast and 28/28-rep stable."""
+    cols = needed.shape[1]
+    ids = jnp.arange(cols, dtype=jnp.int32)
+    lo = jnp.where(needed, ids[None, :], cols).min(axis=1).astype(jnp.int32)
+    hi = jnp.where(needed, ids[None, :], -1).max(axis=1).astype(jnp.int32)
+    hi = jnp.maximum(hi, 0)
+    lo = jnp.minimum(lo, hi)
+    return lo, hi
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 
 def _varlen_fwd_kernel(
+    jmin_ref,  # scalar-prefetch [nqb] i32
+    jmax_ref,  # scalar-prefetch [nqb] i32
     q_ref,  # (1, bq, D)
     k_ref,  # (1, bkv, D)
     v_ref,  # (1, bkv, Dv)
@@ -143,6 +205,7 @@ def _varlen_fwd_kernel(
     causal,
     num_kv_blocks,
 ):
+    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -151,32 +214,36 @@ def _varlen_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * jnp.float32(scale)
+    @pl.when((j >= jmin_ref[i]) & (j <= jmax_ref[i]))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
 
-    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
-    s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+        keep = _varlen_mask(
+            qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal
+        )
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
-    m_prev = m_scr[...]
-    l_prev = l_scr[...]
-    m_tile = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_tile)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, 0:1])
-    p = jnp.where(keep, p, 0.0)  # fully-masked rows stay exactly zero
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[...] = m_next
-    l_scr[...] = l_next
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_tile = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        p = jnp.where(keep, p, 0.0)  # fully-masked rows stay exactly zero
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
 
-    v = v_ref[0]
-    pv = lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+        v = v_ref[0]
+        pv = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
 
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
@@ -208,6 +275,37 @@ def _varlen_forward(
     num_q_blocks = tq_pad // bq
     num_kv_blocks = tk_pad // bkv
 
+    needed = _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal)
+    jmin, jmax = _interval_schedule(needed)
+
+    def kv_index(h, i, j, jmin_ref, jmax_ref, g=group):
+        return (h // g, jnp.clip(j, jmin_ref[i], jmax_ref[i]), 0)
+
+    def kmeta_index(h, i, j, jmin_ref, jmax_ref):
+        return (0, jnp.clip(j, jmin_ref[i], jmax_ref[i]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j, jl, ac: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), kv_index),
+            pl.BlockSpec((1, bkv, dv_dim), kv_index),
+            pl.BlockSpec((bq, 1), lambda h, i, j, jl, ac: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j, jl, ac: (i, 0)),
+            pl.BlockSpec((1, bkv), kmeta_index),
+            pl.BlockSpec((1, bkv), kmeta_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j, jl, ac: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j, jl, ac: (h, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, dv_dim), jnp.float32),
+        ],
+    )
     o, lse = pl.pallas_call(
         functools.partial(
             _varlen_fwd_kernel,
@@ -215,34 +313,21 @@ def _varlen_forward(
             causal=causal,
             num_kv_blocks=num_kv_blocks,
         ),
-        grid=(hq, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, bkv, d), lambda h, i, j, g=group: (h // g, j, 0)),
-            pl.BlockSpec((1, bkv, dv_dim), lambda h, i, j, g=group: (h // g, j, 0)),
-            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
-            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
-            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
-        ],
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hq, tq_pad, dv_dim), q_h.dtype),
             jax.ShapeDtypeStruct((hq, 1, tq_pad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, LANE), jnp.float32),
-            pltpu.VMEM((bq, LANE), jnp.float32),
-            pltpu.VMEM((bq, dv_dim), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The i/j dims are scheduled through scalar-prefetched index
+            # maps; mark them arbitrary (splash-attention convention) so
+            # Mosaic never reorders around the data-dependent maps.
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(
+        jmin,
+        jmax,
         q_h,
         k_h,
         v_h,
@@ -273,35 +358,40 @@ def _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, *, scale):
 
 
 def _varlen_dkdv_kernel(
+    imin_ref,  # scalar-prefetch [nkb] i32
+    imax_ref,  # scalar-prefetch [nkb] i32
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qseg_ref, qrank_ref, kseg_ref, kpos_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, num_q_blocks,
 ):
-    i = pl.program_id(2)  # streamed q tile
+    j = pl.program_id(1)  # kv tile owner
+    i = pl.program_id(2)  # streamed q tile slot
 
     @pl.when(i == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse_row = lse_ref[0, 0][:, None]
-    delta_row = delta_ref[0, 0][:, None]
-    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
-    p, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+    @pl.when((i >= imin_ref[j]) & (i <= imax_ref[j]))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0, 0][:, None]
+        delta_row = delta_ref[0, 0][:, None]
+        keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
+        p, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
 
-    dv_scr[...] += lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_scr[...] += jnp.float32(scale) * lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        dv_scr[...] += lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == num_q_blocks - 1)
     def _epilogue():
@@ -310,30 +400,35 @@ def _varlen_dkdv_kernel(
 
 
 def _varlen_dq_kernel(
+    jmin_ref,  # scalar-prefetch [nqb] i32
+    jmax_ref,  # scalar-prefetch [nqb] i32
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qseg_ref, qrank_ref, kseg_ref, kpos_ref,
     dq_ref, dq_scr,
     *, scale, causal, num_kv_blocks,
 ):
+    i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse_row = lse_ref[0, 0][:, None]
-    delta_row = delta_ref[0, 0][:, None]
-    keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
-    _, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+    @pl.when((j >= jmin_ref[i]) & (j <= jmax_ref[i]))
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse_row = lse_ref[0, 0][:, None]
+        delta_row = delta_ref[0, 0][:, None]
+        keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
+        _, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
 
-    dq_scr[...] += jnp.float32(scale) * lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        dq_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
@@ -358,42 +453,60 @@ def _varlen_backward(
     delta_in = delta[:, None, :]
     meta = (q_seg[:, None], q_rank[:, None], k_seg[None, :], k_pos[None, :])
 
-    # dk/dv: grid (hq, kv blocks, q blocks)
-    dk_e, dv_e = pl.pallas_call(
-        functools.partial(
-            _varlen_dkdv_kernel, scale=scale, causal=causal,
-            num_q_blocks=num_q_blocks,
-        ),
+    needed = _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal)
+    jmin, jmax = _interval_schedule(needed)
+    imin, imax = _interval_schedule(needed.T)
+
+    def qi_index(h, j, i, imin_ref, imax_ref):
+        return (h, jnp.clip(i, imin_ref[j], imax_ref[j]), 0)
+
+    def qmeta_index(h, j, i, imin_ref, imax_ref):
+        return (jnp.clip(i, imin_ref[j], imax_ref[j]), 0)
+
+    def qrow_index(h, j, i, imin_ref, imax_ref):
+        return (h, 0, jnp.clip(i, imin_ref[j], imax_ref[j]))
+
+    # dk/dv: grid (hq, kv blocks, q-tile slots); streamed Q tiles follow the
+    # per-KV-tile schedule so invisible tiles cost neither DMA nor MXU.
+    dkdv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(hq, num_kv_blocks, num_q_blocks),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, j, i: (h, i, 0)),
-            pl.BlockSpec((1, bkv, d), lambda h, j, i, g=group: (h // g, j, 0)),
-            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i, g=group: (h // g, j, 0)),
-            pl.BlockSpec((1, bq, dv_dim), lambda h, j, i: (h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda h, j, i: (h, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda h, j, i: (h, 0, i)),
-            pl.BlockSpec((bq, 1), lambda h, j, i: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda h, j, i: (i, 0)),
-            pl.BlockSpec((1, bkv), lambda h, j, i: (0, j)),
-            pl.BlockSpec((1, bkv), lambda h, j, i: (0, j)),
+            pl.BlockSpec((1, bq, d), qi_index),
+            pl.BlockSpec((1, bkv, d), lambda h, j, i, il, ia, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i, il, ia, g=group: (h // g, j, 0)),
+            pl.BlockSpec((1, bq, dv_dim), qi_index),
+            pl.BlockSpec((1, 1, bq), qrow_index),
+            pl.BlockSpec((1, 1, bq), qrow_index),
+            pl.BlockSpec((bq, 1), qmeta_index),
+            pl.BlockSpec((bq, 1), qmeta_index),
+            pl.BlockSpec((1, bkv), lambda h, j, i, il, ia: (0, j)),
+            pl.BlockSpec((1, bkv), lambda h, j, i, il, ia: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bkv, d), lambda h, j, i: (h, j, 0)),
-            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i: (h, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((hq, tk_pad, d), q_h.dtype),
-            jax.ShapeDtypeStruct((hq, tk_pad, dv_dim), q_h.dtype),
+            pl.BlockSpec((1, bkv, d), lambda h, j, i, il, ia: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i, il, ia: (h, j, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bkv, d), jnp.float32),
             pltpu.VMEM((bkv, dv_dim), jnp.float32),
         ],
+    )
+    dk_e, dv_e = pl.pallas_call(
+        functools.partial(
+            _varlen_dkdv_kernel, scale=scale, causal=causal,
+            num_q_blocks=num_q_blocks,
+        ),
+        grid_spec=dkdv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hq, tk_pad, d), q_h.dtype),
+            jax.ShapeDtypeStruct((hq, tk_pad, dv_dim), q_h.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+    )(imin, imax, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
 
     if group > 1:
         dk = dk_e.reshape(hkv, group, tk_pad, d).astype(jnp.float32).sum(axis=1)
@@ -403,33 +516,43 @@ def _varlen_backward(
     else:
         dk, dv = dk_e, dv_e
 
-    # dq: grid (hq, q blocks, kv blocks)
+    # dq: grid (hq, q blocks, kv-tile slots) following the forward schedule.
+    def kvj_index(h, i, j, jmin_ref, jmax_ref, g=group):
+        return (h // g, jnp.clip(j, jmin_ref[i], jmax_ref[i]), 0)
+
+    def kmeta_index(h, i, j, jmin_ref, jmax_ref):
+        return (0, jnp.clip(j, jmin_ref[i], jmax_ref[i]))
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j, jl, ac: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), kvj_index),
+            pl.BlockSpec((1, bkv, dv_dim), kvj_index),
+            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j, jl, ac: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j, jl, ac: (h, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j, jl, ac: (h, 0, i)),
+            pl.BlockSpec((bq, 1), lambda h, i, j, jl, ac: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda h, i, j, jl, ac: (i, 0)),
+            pl.BlockSpec((1, bkv), kmeta_index),
+            pl.BlockSpec((1, bkv), kmeta_index),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j, jl, ac: (h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )
     dq = pl.pallas_call(
         functools.partial(
             _varlen_dq_kernel, scale=scale, causal=causal,
             num_kv_blocks=num_kv_blocks,
         ),
-        grid=(hq, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, bkv, d), lambda h, i, j, g=group: (h // g, j, 0)),
-            pl.BlockSpec((1, bkv, dv_dim), lambda h, i, j, g=group: (h // g, j, 0)),
-            pl.BlockSpec((1, bq, dv_dim), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
-            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda h, i, j: (i, 0)),
-            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
-            pl.BlockSpec((1, bkv), lambda h, i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((hq, tq_pad, d), q_h.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+    )(jmin, jmax, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
 
     return dq, dk, dv
 
@@ -526,6 +649,29 @@ def ffpa_varlen_attention(
         raise ValueError(f"GQA requires H_q % H_kv == 0, got {hq} % {hkv}")
     if softmax_scale is None:
         softmax_scale = 1.0 / (d ** 0.5)
+
+    if q.dtype == jnp.float16:
+        # No native f16 on TPU/Mosaic: bf16 compute, fp32 accumulation
+        # (same policy as the dense entry).
+        out = ffpa_varlen_attention(
+            q.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            cu_seqlens_q,
+            cu_seqlens_k,
+            max_seqlen_q,
+            max_seqlen_k,
+            dropout_p=dropout_p,
+            softmax_scale=softmax_scale,
+            causal=causal,
+            enable_gqa=enable_gqa,
+            return_lse=return_lse,
+            block_q=block_q,
+            block_kv=block_kv,
+        )
+        if return_lse:
+            return out[0].astype(jnp.float16), out[1]
+        return out.astype(jnp.float16)
 
     bq, bkv = block_q, block_kv
     tq_pad = cdiv(max(tq, 1), bq) * bq

@@ -152,3 +152,37 @@ def test_varlen_rejected_kwargs():
         ffpa_attn_varlen_func(
             q, k, v, cu_q.astype(jnp.float32), cu_k, 128, 128
         )
+
+
+def test_tile_schedule_conservative():
+    """The tile scheduler may only skip PROVABLY masked tiles: every
+    (q, k) pair with matching segments (and causal-visible rank) must land
+    in a needed tile inside the [jmin, jmax] interval."""
+    import numpy as np
+
+    from ffpa_attn_tpu.ops.varlen import (
+        _interval_schedule,
+        _segment_metadata,
+        _tile_needed,
+    )
+
+    cu = jnp.array([0, 70, 300, 301, 512], jnp.int32)
+    tq = tk = 512
+    bq = bkv = 128
+    q_seg, q_rank, k_seg, k_pos = _segment_metadata(cu, cu, tq, tk, 512, 512)
+    for causal in (False, True):
+        needed = np.asarray(
+            _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal)
+        )
+        jmin, jmax = map(np.asarray, _interval_schedule(jnp.asarray(needed)))
+        qs, qr = np.asarray(q_seg), np.asarray(q_rank)
+        ks, kp = np.asarray(k_seg), np.asarray(k_pos)
+        vis = (qs[:, None] == ks[None, :]) & (
+            (kp[None, :] <= qr[:, None]) if causal else True
+        )
+        for a in range(tq):
+            for b in range(tk):
+                if vis[a, b]:
+                    i, j = a // bq, b // bkv
+                    assert needed[i, j], (a, b, causal)
+                    assert jmin[i] <= j <= jmax[i], (a, b, causal)
