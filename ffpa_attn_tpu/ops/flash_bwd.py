@@ -24,9 +24,10 @@ Softmax is reconstructed from the saved natural-log LSE:
 ``p = exp(s - lse)`` (already normalized), so no separate (m, l) residuals
 are needed. Dropout is replayed bit-identically from the layout-independent
 hash (``rng.py``) — the analog of Philox replay
-(triton/_ffpa_bwd.py:196-221). GQA backward uses the expand/reduce scheme
-(dk/dv computed per Q head, group-summed outside —
-triton/_ffpa_bwd.py:2936-2990).
+(triton/_ffpa_bwd.py:196-221). GQA backward folds the head group into the
+dK/dV kernel's streamed axis, so group reduction happens in the fp32 VMEM
+accumulator — one store per KV-head tile, no expand/reduce HBM round trip
+(improves on the reference's scheme, triton/_ffpa_bwd.py:2936-2990).
 """
 
 from __future__ import annotations
@@ -153,16 +154,25 @@ def _dkdv_kernel(
     has_bias,
     emit_ds,
     col_offset=0,
+    group=1,
 ):
+    # Grid: (B, Hkv, kv-tiles, group*q-tiles) — the GQA group streams
+    # through the SAME kv owner cell, so dK/dV accumulate across the whole
+    # group in VMEM and come out already group-reduced [B, Hkv, Nkv, D]
+    # (replaces the reference's expand/reduce HBM round trip,
+    # triton/_ffpa_bwd.py:2936-2990).
     b_idx = pl.program_id(0)
-    h_idx = pl.program_id(1)
+    hk_idx = pl.program_id(1)
     j = pl.program_id(2)  # kv tile owner
-    i = pl.program_id(3)  # streamed q tile
+    gi = pl.program_id(3)  # g * num_q_blocks + i
+    g = gi // num_q_blocks
+    i = gi % num_q_blocks
+    h_idx = hk_idx * group + g  # q-head id (dropout hash, bias rows)
 
     bq = q_ref.shape[2]
     bkv = k_ref.shape[2]
 
-    @pl.when(i == 0)
+    @pl.when(gi == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -231,7 +241,7 @@ def _dkdv_kernel(
         def _zero_ds():
             ds_ref[0, 0] = jnp.zeros_like(ds_ref[0, 0])
 
-    @pl.when(i == num_q_blocks - 1)
+    @pl.when(gi == group * num_q_blocks - 1)
     def _epilogue():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -722,40 +732,55 @@ def _dkdv_launch(
         bias, bq, bkv, nq_pad, nkv_pad, kv_major=True
     )
 
+    nqb = num_q_blocks
+
     if is_causal:
         # Clamp the streamed Q index to the first tile that attends this KV
         # tile — Pallas elides DMAs for the (masked) repeats; same trick as
         # the forward KV clamp.
-        def qi_index(b_, h, j, i, bq=bq, bkv=bkv, off=causal_offset):
+        def qi_index(j, i, bq=bq, bkv=bkv, off=causal_offset):
             i_min = jnp.maximum(0, -(-(j * bkv + 1 - off) // bq) - 1)
             return jnp.maximum(i, i_min)
 
     else:
 
-        def qi_index(b_, h, j, i):
+        def qi_index(j, i):
             return i
+
+    # Grid axis 3 folds (group, q-tile): gi = g*nqb + i; the q-side index
+    # maps address q-head hk*group + g so dK/dV group-accumulate in VMEM.
+    def qh(hk, gi, g=group):
+        return hk * g + gi // nqb
+
+    def qi(j, gi):
+        return qi_index(j, gi % nqb)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            (1, 1, bq, d), lambda b_, h, j, i: (b_, h, qi_index(b_, h, j, i), 0)
+            (1, 1, bq, d), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0)
         ),
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
-        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
         pl.BlockSpec(
             (1, 1, bq, dv_dim),
-            lambda b_, h, j, i: (b_, h, qi_index(b_, h, j, i), 0),
+            lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
         ),
         pl.BlockSpec(
-            (1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, qi_index(b_, h, j, i))
+            (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
         ),
         pl.BlockSpec(
-            (1, 1, 1, bq), lambda b_, h, j, i: (b_, h, 0, qi_index(b_, h, j, i))
+            (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
         ),
     ]
     inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
     if has_bias:
-        in_specs.append(pl.BlockSpec(bias_block_dkdv, bias_map_dkdv))
+        bm = bias_map_dkdv
+
+        def bias_map_folded(b_, hk, j, gi, bm=bm):
+            return bm(b_, qh(hk, gi), j, qi(j, gi))
+
+        in_specs.append(pl.BlockSpec(bias_block_dkdv, bias_map_folded))
         inputs.append(bias_dkdv)
 
     dkdv_kernel = functools.partial(
@@ -772,27 +797,31 @@ def _dkdv_launch(
         has_bias=has_bias,
         emit_ds=emit_ds,
         col_offset=col_offset,
+        group=group,
     )
 
-    dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)
+    dk_dtype = _grad_dtype(grad_kv_storage_dtype, k.dtype)
     out_specs = [
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, i: (b_, h, j, 0)),
-        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, i: (b_, h, j, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hq, nkv_pad, d), dk_dtype),
-        jax.ShapeDtypeStruct((b, hq, nkv_pad, dv_dim), dk_dtype),
+        jax.ShapeDtypeStruct((b, hkv, nkv_pad, d), dk_dtype),
+        jax.ShapeDtypeStruct((b, hkv, nkv_pad, dv_dim), dk_dtype),
     ]
     if emit_ds:
         out_specs.append(
-            pl.BlockSpec((1, 1, bq, bkv), lambda b_, h, j, i: (b_, h, i, j))
+            pl.BlockSpec(
+                (1, 1, bq, bkv),
+                lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j),
+            )
         )
         out_shape.append(
             jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), q.dtype)
         )
     result = pl.pallas_call(
         dkdv_kernel,
-        grid=(b, hq, num_kv_blocks, num_q_blocks),
+        grid=(b, hkv, num_kv_blocks, group * num_q_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -806,21 +835,14 @@ def _dkdv_launch(
         interpret=interpret,
     )(*inputs)
     if emit_ds:
-        dk_e, dv_e, ds_full = result
+        dk, dv, ds_full = result
     else:
-        dk_e, dv_e = result
+        dk, dv = result
         ds_full = None
 
     if nkv_pad != nkv:
-        dk_e = dk_e[:, :, :nkv]
-        dv_e = dv_e[:, :, :nkv]
-    # GQA group-reduce back to KV heads + cast to input dtypes.
-    if group > 1:
-        dk = dk_e.reshape(b, hkv, group, nkv, d).astype(jnp.float32).sum(axis=2)
-        dv = dv_e.reshape(b, hkv, group, nkv, dv_dim).astype(jnp.float32).sum(axis=2)
-    else:
-        dk, dv = dk_e, dv_e
-    dk = dk.astype(_grad_dtype(grad_kv_storage_dtype, k.dtype))
+        dk = dk[:, :, :nkv]
+        dv = dv[:, :, :nkv]
     dv = dv.astype(_grad_dtype(grad_kv_storage_dtype, v.dtype))
     return dk, dv, ds_full
 
