@@ -25,7 +25,7 @@ functional.py:1063-1082, which TPU does not need).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Optional, Union
 
 import jax.numpy as jnp

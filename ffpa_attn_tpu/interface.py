@@ -17,12 +17,12 @@ segment-ID masking (ops/varlen.py) instead of cu_seqlens pointer chasing.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from .functional import Backend, FFPAAttnMeta
+from .functional import FFPAAttnMeta
 from .logger import init_logger
 from .ops.attention import apply_attention
 

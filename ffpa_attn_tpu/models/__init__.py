@@ -6,6 +6,7 @@ an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
 """
 
 from .generate import decode_step, generate, init_kv_cache, prefill
+from .serving import pack_prompts, prefill_packed, serve_batch
 from .transformer import (
     ModelConfig,
     init_params,
@@ -26,4 +27,7 @@ __all__ = [
     "prefill",
     "decode_step",
     "generate",
+    "pack_prompts",
+    "prefill_packed",
+    "serve_batch",
 ]

@@ -1,0 +1,179 @@
+"""Continuous batching: mixed-length prefill via the varlen kernel.
+
+The BASELINE.json north star ("continuous batching of mixed-length
+prefills via the varlen kernel", SURVEY.md §5 long-context): prompts of
+different lengths are packed into ONE [T, H, D] varlen attention call per
+layer (no padding work — the tile scheduler skips cross-segment and
+above-diagonal tiles), their KV is scattered into per-sequence cache
+slots, and generation proceeds with the batched KV-cache decode step
+(generate.decode_step).
+
+This is deliberately a thin engine: batch shapes are static (B sequences,
+cache length max_len), per-sequence prompt lengths are dynamic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..interface import ffpa_attn_varlen_func
+from .generate import decode_step, init_kv_cache
+from .transformer import ModelConfig, _mlp, _rmsnorm, _rope
+
+
+def pack_prompts(prompts: Sequence[jnp.ndarray], pad_to: int):
+    """Pack 1-D token prompts into (packed [T], cu_seqlens [B+1]).
+
+    ``pad_to`` fixes the packed length (static shape for jit); the tail is
+    padding tokens (id 0) that the varlen kernel masks via segment ids.
+    """
+    lens = [int(p.shape[0]) for p in prompts]
+    total = sum(lens)
+    assert total <= pad_to, (total, pad_to)
+    packed = jnp.concatenate(
+        list(prompts) + [jnp.zeros((pad_to - total,), jnp.int32)]
+    )
+    cu = jnp.asarray([0] + list(jnp.cumsum(jnp.asarray(lens))), jnp.int32)
+    return packed.astype(jnp.int32), cu
+
+
+def prefill_packed(params, packed, cu_seqlens, max_seqlen: int,
+                   cfg: ModelConfig, cache):
+    """Mixed-length prefill: ONE varlen attention call per layer.
+
+    Args:
+      packed: [T] int32 packed prompt tokens (B segments + tail padding).
+      cu_seqlens: [B+1] int32 segment offsets.
+      max_seqlen: static bound on the longest prompt.
+      cache: per-layer KV cache [B, Hkv, max_len, Dh] (from init_kv_cache).
+
+    Returns (last_logits [B, vocab], cache) — logits at each sequence's
+    final prompt token.
+    """
+    t = packed.shape[0]
+    batch = cache[0]["k"].shape[0]
+    dh = cfg.head_dim
+
+    t_ids = jnp.arange(t, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu_seqlens[1:], t_ids, side="right").astype(jnp.int32)
+    seg_c = jnp.clip(seg, 0, batch - 1)
+    pos = t_ids - cu_seqlens[seg_c]
+    valid = t_ids < cu_seqlens[-1]
+
+    x = params["embed"][packed][None]  # [1, T, D]
+    enable_gqa = cfg.n_heads != cfg.n_kv_heads
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        bsz, n, _ = h.shape
+        q = (h @ layer["wq"]).reshape(n, cfg.n_heads, dh)
+        k = (h @ layer["wk"]).reshape(n, cfg.n_kv_heads, dh)
+        v = (h @ layer["wv"]).reshape(n, cfg.n_kv_heads, dh)
+        # Rope with per-SEGMENT positions (restart at each prompt).
+        q = _rope(q.transpose(1, 0, 2)[None], pos)[0].transpose(1, 0, 2)
+        k = _rope(k.transpose(1, 0, 2)[None], pos)[0].transpose(1, 0, 2)
+
+        # Scatter this layer's K/V into the per-sequence cache slots;
+        # padding rows get out-of-bounds batch indices and are DROPPED
+        # (duplicate-index writes would otherwise race the real tokens).
+        b_idx = jnp.where(valid, seg_c, batch)
+        cache[li] = {
+            "k": cache[li]["k"].at[b_idx, :, pos].set(k, mode="drop"),
+            "v": cache[li]["v"].at[b_idx, :, pos].set(v, mode="drop"),
+        }
+
+        o = ffpa_attn_varlen_func(
+            q, k, v, cu_seqlens, cu_seqlens, max_seqlen, max_seqlen,
+            causal=True, enable_gqa=enable_gqa,
+        )
+        x = x + (o.reshape(n, cfg.n_heads * dh) @ layer["wo"])[None]
+        h = _rmsnorm(x, layer["mlp_norm"])
+        x = x + _mlp(layer, h)
+
+    x = _rmsnorm(x[0], params["final_norm"])  # [T, D]
+    last_rows = jnp.maximum(cu_seqlens[1:] - 1, 0)  # [B]
+    return x[last_rows] @ params["embed"].T, cache
+
+
+def serve_batch(
+    params,
+    prompts: Sequence[jnp.ndarray],
+    steps: int,
+    cfg: ModelConfig,
+    max_len: int,
+    pack_to: int | None = None,
+):
+    """Continuous-batching generation for B mixed-length prompts.
+
+    One packed varlen prefill + ``steps`` batched decode steps. Returns
+    tokens [B, steps].
+    """
+    batch = len(prompts)
+    lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    pack_to = pack_to or int(sum(int(p.shape[0]) for p in prompts))
+    packed, cu = pack_prompts(prompts, pack_to)
+    max_seqlen = int(lens.max())
+
+    cache = init_kv_cache(cfg, batch, max_len)
+    logits, cache = prefill_packed(params, packed, cu, max_seqlen, cfg, cache)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+
+    # Batched decode: each sequence writes at its own position. decode_step
+    # uses one shared scalar pos, so step per-sequence via vmap-compatible
+    # per-batch positions: we keep it simple — positions differ, so use the
+    # per-sequence validity bias built from each row's own length.
+    outs = [tok]
+    positions = lens
+    for _ in range(steps - 1):
+        logits, cache = _batched_decode_step(params, cache, positions, tok, cfg)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        positions = positions + 1
+        outs.append(tok)
+    return jnp.stack(outs, axis=1)  # [B, steps]
+
+
+def _batched_decode_step(params, cache, positions, token, cfg: ModelConfig):
+    """One decode step with PER-SEQUENCE positions [B] (ragged batch)."""
+    from ..ops.reference import DEFAULT_MASK_VALUE
+
+    b = token.shape[0]
+    max_len = cache[0]["k"].shape[2]
+    x = params["embed"][token][:, None]  # [B, 1, D]
+    dh = cfg.head_dim
+    valid = jnp.arange(max_len)[None, :] <= positions[:, None]  # [B, max_len]
+    bias = jnp.where(valid, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+    bias = bias[:, None, None, :]  # [B, 1, 1, max_len]
+    enable_gqa = cfg.n_heads != cfg.n_kv_heads
+
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        q = _rope_at(q, positions)
+        k = _rope_at(k, positions)
+        bb = jnp.arange(b)
+        k_cache = cache[li]["k"].at[bb, :, positions].set(k[:, :, 0])
+        v_cache = cache[li]["v"].at[bb, :, positions].set(v[:, :, 0])
+        cache[li] = {"k": k_cache, "v": v_cache}
+        from ..interface import ffpa_attn_func
+
+        o = ffpa_attn_func(
+            q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa
+        )
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
+        h = _rmsnorm(x, layer["mlp_norm"])
+        x = x + _mlp(layer, h)
+    x = _rmsnorm(x[:, -1], params["final_norm"])
+    return x @ params["embed"].T, cache
+
+
+def _rope_at(x, positions):
+    """Rope for [B, H, 1, Dh] at per-batch positions [B]."""
+    outs = _rope(
+        x.transpose(2, 1, 0, 3)[0][None],  # [1, H, B, Dh]
+        positions,
+    )  # [1, H, B, Dh] rotated with per-"row" positions
+    return outs[0].transpose(1, 0, 2)[:, :, None, :]  # [B, H, 1, Dh]

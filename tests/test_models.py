@@ -84,3 +84,58 @@ def test_generate_matches_full_forward():
             f"step {i}: cache={int(got[0, i])} full={int(nxt[0])}"
         )
         seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+
+
+def test_continuous_batching_prefill_matches_single():
+    """Packed varlen prefill (serving.py) must match per-sequence dense
+    prefill: logits at each prompt's last token and the KV caches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ffpa_attn_tpu.models import ModelConfig, init_kv_cache, init_params, prefill
+    from ffpa_attn_tpu.models.serving import (
+        _batched_decode_step,
+        pack_prompts,
+        prefill_packed,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=2,
+        n_kv_heads=1, head_dim=320, max_seq_len=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [
+        jax.random.randint(jax.random.PRNGKey(i + 1), (n,), 0, 128)
+        for i, n in enumerate((200, 131, 57))
+    ]
+    packed, cu = pack_prompts(prompts, 512)
+    cache = init_kv_cache(cfg, 3, 384)
+    logits, cache = prefill_packed(params, packed, cu, 200, cfg, cache)
+
+    from ffpa_attn_tpu.models.generate import decode_step
+
+    lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    step_logits, cache = _batched_decode_step(params, cache, lens, tok, cfg)
+
+    for i, p in enumerate(prompts):
+        c1 = init_kv_cache(cfg, 1, 384)
+        lg, c1 = prefill(params, p[None], cfg, c1)
+        np.testing.assert_allclose(
+            np.asarray(logits[i], np.float32), np.asarray(lg[0], np.float32),
+            atol=5e-2, rtol=5e-2, err_msg=f"prefill logits seq {i}",
+        )
+        n = int(p.shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(cache[0]["k"][i, :, :n], np.float32),
+            np.asarray(c1[0]["k"][0, :, :n], np.float32),
+            err_msg=f"cache seq {i}",
+        )
+        # teacher-forced decode step with the SAME token on both paths
+        lg1, c1 = decode_step(params, c1, jnp.int32(n), tok[i][None], cfg)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[i], np.float32),
+            np.asarray(lg1[0], np.float32),
+            atol=5e-2, rtol=5e-2, err_msg=f"decode logits seq {i}",
+        )
