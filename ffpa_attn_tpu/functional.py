@@ -251,9 +251,10 @@ class FFPAAttnMeta:
             )
             return True
         nq, nkv = query.shape[2], key.shape[2]
-        if 1 < nq < ENV.min_seqlen_q() or nkv < ENV.min_seqlen_kv():
-            # Nq==1 goes to the decode split-KV kernel; other tiny shapes
-            # are XLA's to fuse (reference analog: 8<=Nq<512 → SDPA).
+        if 8 < nq < ENV.min_seqlen_q() or nkv < ENV.min_seqlen_kv():
+            # Nq<=8 goes to the decode kernel (incl. speculative decoding);
+            # other tiny shapes are XLA's to fuse (reference analog:
+            # 8<=Nq<512 → SDPA).
             return True
         return False
 

@@ -181,9 +181,11 @@ def apply_attention(
     bwd_be = meta.backward_backend
 
     nq = q.shape[2]
-    if nq == 1 and meta.dropout_p == 0.0:
-        # Decode fast path (forward only shape; grads rarely needed but
-        # custom_vjp still covers it via the dense kernels).
+    if nq <= 8 and meta.dropout_p == 0.0:
+        # Decode fast path — covers speculative decoding (Nq 2..8) as well
+        # as plain Nq=1 (the kernel pads Q to one 16-row sublane tile
+        # either way). Grads route through the dense kernels via its
+        # custom_vjp.
         from .decode import decode_attention_supported, decode_attention
 
         if decode_attention_supported(q, k):

@@ -179,3 +179,20 @@ def test_autotune_backend_api(monkeypatch):
         np.asarray(o2, np.float32), np.asarray(ref, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+@pytest.mark.parametrize("nq", [1, 4, 8])
+@pytest.mark.parametrize("causal", [False, True])
+def test_decode_speculative_shapes(nq, causal):
+    """Nq<=8 routes through the decode fast path (incl. speculative
+    decoding drafts) with tail-aligned causal semantics."""
+    ks = jax.random.split(jax.random.PRNGKey(nq), 3)
+    q = jax.random.normal(ks[0], (1, 4, nq, 512), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 4, 1024, 512), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 4, 1024, 512), jnp.bfloat16)
+    o = ffpa_attn_func(q, k, v, is_causal=causal)
+    r = reference_attention(q, k, v, None, is_causal=causal, scale=512**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(r, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
