@@ -107,11 +107,11 @@ def test_continuous_batching_prefill_matches_single():
     params = init_params(jax.random.PRNGKey(0), cfg)
     prompts = [
         jax.random.randint(jax.random.PRNGKey(i + 1), (n,), 0, 128)
-        for i, n in enumerate((200, 131, 57))
+        for i, n in enumerate((130, 70, 41))
     ]
-    packed, cu = pack_prompts(prompts, 512)
-    cache = init_kv_cache(cfg, 3, 384)
-    logits, cache = prefill_packed(params, packed, cu, 200, cfg, cache)
+    packed, cu = pack_prompts(prompts, 256)
+    cache = init_kv_cache(cfg, 3, 256)
+    logits, cache = prefill_packed(params, packed, cu, 130, cfg, cache)
 
     from ffpa_attn_tpu.models.generate import decode_step
 
@@ -120,7 +120,7 @@ def test_continuous_batching_prefill_matches_single():
     step_logits, cache = _batched_decode_step(params, cache, lens, tok, cfg)
 
     for i, p in enumerate(prompts):
-        c1 = init_kv_cache(cfg, 1, 384)
+        c1 = init_kv_cache(cfg, 1, 256)
         lg, c1 = prefill(params, p[None], cfg, c1)
         np.testing.assert_allclose(
             np.asarray(logits[i], np.float32), np.asarray(lg[0], np.float32),
