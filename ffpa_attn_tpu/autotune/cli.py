@@ -45,6 +45,21 @@ def iter_tasks(args) -> list[TuneTask]:
     for direction in args.directions:
         for dtype in args.dtypes:
             for d in args.headdims:
+                if direction in ("decode", "varlen"):
+                    # Decode: Nq=1 vs each KV length (block_kv only);
+                    # varlen: packed total T per seqlen (tile-shape pair).
+                    # Keyed causal=False in the store either way (tile
+                    # shape is not causal-sensitive for these kernels;
+                    # varlen is TIMED causal, matching its dominant use).
+                    for n in args.seqlens:
+                        tasks.append(
+                            TuneTask(
+                                direction, d, 1 if direction == "decode" else n,
+                                n, dtype, False,
+                                b=args.B, h=args.H,
+                            )
+                        )
+                    continue
                 for n in args.seqlens:
                     # Prune shapes that exceed HBM (reference prunes <48GB
                     # VRAM, autotune.py:138-144) — v5e has 16GB.
@@ -104,11 +119,34 @@ def run_task(task: TuneTask, mode: str):
     scale = 1.0 / (task.d ** 0.5)
     dropout_p = 0.1 if task.dropout else 0.0
 
-    tune = autotune_forward if task.direction == "fwd" else autotune_backward
-    cfg, ms = tune(
-        q, k, v, bias, scale=scale, is_causal=task.causal,
-        dropout_p=dropout_p, mode=mode,
-    )
+    if task.direction == "decode":
+        from .search import autotune_decode
+
+        cfg, ms = autotune_decode(q, k, v, scale=scale, mode=mode)
+    elif task.direction == "varlen":
+        import jax.numpy as jnp2
+
+        from .search import autotune_varlen
+
+        # Representative mixed-length packing: 4 segments of T/4.
+        t = task.nkv
+        cu = jnp2.asarray(
+            [0, t // 4, t // 2, 3 * t // 4, t], jnp2.int32
+        )
+        q3 = jnp2.swapaxes(q[0], 0, 1)[:t]
+        k3 = jnp2.swapaxes(k[0], 0, 1)[:t]
+        v3 = jnp2.swapaxes(v[0], 0, 1)[:t]
+        cfg, ms = autotune_varlen(
+            q3, k3, v3, cu, t // 4, scale=scale, mode=mode
+        )
+    else:
+        tune = (
+            autotune_forward if task.direction == "fwd" else autotune_backward
+        )
+        cfg, ms = tune(
+            q, k, v, bias, scale=scale, is_causal=task.causal,
+            dropout_p=dropout_p, mode=mode,
+        )
     if cfg is None:
         return None
     key_ = ConfigKey(
@@ -133,7 +171,8 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--mode", choices=["fast", "max"], default="fast")
     parser.add_argument(
-        "--directions", nargs="*", default=["fwd", "bwd"], choices=["fwd", "bwd"]
+        "--directions", nargs="*", default=["fwd", "bwd"],
+        choices=["fwd", "bwd", "decode"],
     )
     parser.add_argument(
         "--dtypes", nargs="*", default=["bfloat16"],

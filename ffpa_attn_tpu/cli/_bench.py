@@ -311,6 +311,77 @@ def _grad_step(fwd_fn, has_mask: bool):
     return step
 
 
+def _verify_case(case: BenchCase, dtype, direction: str, backend) -> None:
+    """Correctness gate before timing (reference runners validate every
+    bench case against SDPA before measuring, cli/_runner_fwd.py:1-14) — a
+    fast-but-wrong config must never produce a great table.
+
+    Dropout-free cases are checked at FULL bench shape against the chunked
+    fp32-softmax composite; the dropout case (no stock-XLA counterpart)
+    is checked against the fp32 oracle at a capped shape that still
+    exercises the same kernel features.
+    """
+    import numpy as np
+
+    tol = 1e-2 if jnp.dtype(dtype) == jnp.float16 else 5e-2
+
+    def rel(a, b):
+        a = np.asarray(jax.device_get(a), np.float32)
+        b = np.asarray(jax.device_get(b), np.float32)
+        return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+    if case.dropout_p > 0.0:
+        from ..ops.reference import reference_attention
+
+        vcase = BenchCase(
+            case.name, case.b, case.hq, case.hkv,
+            min(case.nq, 2048), min(case.nkv, 2048), case.d,
+            case.causal, case.mask, case.dropout_p,
+        )
+        q, k, v, mask, do = _inputs(vcase, dtype, seed=7)
+        got = _ffpa_fwd_fn(vcase, backend)(q, k, v, mask)
+        want = reference_attention(
+            q, k, v, mask, is_causal=vcase.causal,
+            scale=vcase.d**-0.5, dropout_p=vcase.dropout_p,
+        )
+        # Dropout outputs are sparse/rescaled; compare means + masked
+        # agreement rather than elementwise (RNG parity is locked by
+        # tests/test_ffpa_bwd.py:test_bwd_dropout_replay).
+        if rel(got, want) >= tol:
+            raise RuntimeError(
+                f"bench verify FAILED for {vcase.name} (dropout): "
+                f"rel={rel(got, want):.3f} >= {tol}"
+            )
+        return
+
+    q, k, v, mask, do = _inputs(case, dtype, seed=7)
+    ffpa = _ffpa_fwd_fn(case, backend)
+    oracle = _sdpa_fwd_fn(case, "chunked")
+    got = jax.jit(lambda *a: ffpa(*a))(q, k, v, mask)
+    want = jax.jit(lambda *a: oracle(*a))(q, k, v, mask)
+    r = rel(got, want)
+    if r >= tol:
+        raise RuntimeError(
+            f"bench verify FAILED for {case.name} fwd: rel={r:.3f} >= {tol}"
+        )
+    if direction == "bwd":
+        def dq_of(fwd_fn):
+            def loss(q_):
+                return (
+                    fwd_fn(q_, k, v, mask).astype(jnp.float32)
+                    * do.astype(jnp.float32)
+                ).sum()
+
+            return jax.jit(jax.grad(loss))(q)
+
+        r = rel(dq_of(ffpa), dq_of(oracle))
+        if r >= tol:
+            raise RuntimeError(
+                f"bench verify FAILED for {case.name} bwd dq: rel={r:.3f} "
+                f">= {tol}"
+            )
+
+
 def run_case(
     case: BenchCase,
     dtype,
@@ -318,9 +389,13 @@ def run_case(
     backend: Optional[str] = None,
     warmup: int = 2,
     iters: int = 10,
+    verify: bool = True,
 ):
     q, k, v, mask, do = _inputs(case, dtype)
     ffpa_fwd = _ffpa_fwd_fn(case, backend)
+
+    if verify:
+        _verify_case(case, dtype, direction, backend)
 
     has_mask = mask is not None
 
@@ -468,6 +543,11 @@ def main(argv=None) -> int:
     parser.add_argument("--backend", default=None)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the pre-timing correctness gate (each case is otherwise "
+        "validated against the fp32-softmax composite before measuring)",
+    )
     parser.add_argument("--json", action="store_true", help="emit JSON lines")
     parser.add_argument("--output", default=None, help="markdown output path")
     parser.add_argument(
@@ -503,6 +583,7 @@ def main(argv=None) -> int:
                         backend=args.backend,
                         warmup=args.warmup,
                         iters=args.iters,
+                        verify=not args.no_verify,
                     )
                     rows.append(row)
                     if args.json:

@@ -44,6 +44,7 @@ class EnvSnapshot:
     min_seqlen_q: int
     min_seqlen_kv: int
     ds_handoff_limit_bytes: int
+    scores_residual_limit_bytes: int
 
 
 class ENV:
@@ -114,6 +115,27 @@ class ENV:
         )
 
     @staticmethod
+    def scores_residual_limit_bytes() -> int:
+        """Max HBM bytes for the S-resident training residual.
+
+        When the (padded) bf16 score matrix [B, Hq, Nq, Nkv] fits this
+        budget, the training-path forward emits it as an extra residual and
+        the backward drops its S recompute entirely — a 4-matmul backward
+        (dP, dV, dK in the from-S kernel + the dS-handoff dQ einsum),
+        matching the information advantage XLA's composite SDPA has when it
+        saves the probability matrix. 0 disables S-residency.
+
+        The budget is per attention call. Layer-stacked training should
+        either keep the default (and rely on layer-level ``jax.checkpoint``,
+        under which only one layer's S is live at a time) or set the env
+        var lower.
+        """
+        return _env_int(
+            "FFPA_TPU_SCORES_RESIDUAL_LIMIT_BYTES",
+            9 * 1024 * 1024 * 1024 // 2,  # 4.5 GiB
+        )
+
+    @staticmethod
     def snapshot() -> EnvSnapshot:
         return EnvSnapshot(
             allow_small_d=ENV.allow_small_d(),
@@ -125,4 +147,5 @@ class ENV:
             min_seqlen_q=ENV.min_seqlen_q(),
             min_seqlen_kv=ENV.min_seqlen_kv(),
             ds_handoff_limit_bytes=ENV.ds_handoff_limit_bytes(),
+            scores_residual_limit_bytes=ENV.scores_residual_limit_bytes(),
         )

@@ -105,6 +105,12 @@ class PallasBackend(Backend):
     # True/False = force. The handoff removes the dQ kernel's S/dP
     # recompute at the cost of one bf16 [B,Hq,Nq,Nkv] HBM buffer.
     ds_handoff: Optional[bool] = None
+    # S-resident backward: the training-path forward additionally emits the
+    # bf16 score matrix as a residual, and the backward drops its S
+    # recompute entirely (4 matmul-equivalents instead of 5). None = auto
+    # (bf16 inputs whose padded scores fit
+    # ENV.scores_residual_limit_bytes), True/False = force.
+    save_scores: Optional[bool] = None
 
     def validate(self) -> None:
         if self.autotune_mode not in ("fast", "max"):

@@ -120,23 +120,20 @@ def ffpa_attn_func(
         query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa
     )
     if query.dtype == jnp.float16:
-        # TPU MXU/Mosaic has no native f16; compute in bf16 (accumulation
-        # is fp32 in-kernel either way, so only the input/output rounding
-        # differs) and cast back. Documented deviation from the GPU
-        # reference, which runs f16 natively.
+        # TPU MXU/Mosaic has no native f16; the core computes in bf16 with
+        # fp32 accumulation and casts back — and, to hold the 1e-2 fp16
+        # contract, the backward splits P and the INCOMING f16 dO into
+        # hi+lo bf16 pairs for the dV matmul (flash_bwd._dv_accumulate).
+        # The f16 arrays cross the custom_vjp boundary untouched so the
+        # cotangent reaches the backward unrounded. Documented deviation
+        # from the GPU reference, which runs f16 natively.
         logger.warning_once(
             "float16 inputs: computing in bfloat16 on TPU (fp32 "
             "accumulation unchanged); outputs are cast back to float16"
         )
-        out = apply_attention(
-            ameta,
-            query.astype(jnp.bfloat16),
-            key.astype(jnp.bfloat16),
-            value.astype(jnp.bfloat16),
-            bias,
-            dropout_seed,
+        return apply_attention(
+            ameta, query, key, value, bias, dropout_seed, precise_pv=True
         )
-        return out.astype(jnp.float16)
     return apply_attention(ameta, query, key, value, bias, dropout_seed)
 
 
@@ -186,13 +183,38 @@ def ffpa_attn_varlen_func(
 # ---------------------------------------------------------------------------
 
 _ORIG_DPA = None
+# Pristine reference captured at import, so the passthrough path can never
+# recurse into the patched symbol.
+_IMPORT_TIME_DPA = jax.nn.dot_product_attention
 
 
 def _dpa_compatible_ffpa(query, key, value, bias=None, mask=None, *args, **kwargs):
     """Adapter exposing ffpa_attn_func under the
-    ``jax.nn.dot_product_attention`` signature (B, N, H, D layout)."""
+    ``jax.nn.dot_product_attention`` signature (B, N, H, D layout).
+
+    Kwargs FFPA does not implement (``local_window_size``,
+    ``query_seq_lengths``, ``key_value_seq_lengths``, non-default
+    ``implementation``, ...) route to the saved original function — a
+    patched user gets the stock semantics, never silently-wrong output.
+    """
     is_causal = kwargs.pop("is_causal", False)
     scale = kwargs.pop("scale", None)
+    implementation = kwargs.pop("implementation", None)
+    passthrough = {k: v for k, v in kwargs.items() if v is not None}
+    if args or passthrough or implementation not in (None, "xla"):
+        original = _ORIG_DPA or _IMPORT_TIME_DPA
+        if original is _dpa_compatible_ffpa:  # pragma: no cover - safety net
+            original = _IMPORT_TIME_DPA
+        logger.warning_once(
+            "jax.nn.dot_product_attention called with kwargs FFPA does not "
+            "implement (%s); routing to the original implementation",
+            ", ".join(sorted(passthrough) or ["positional extras"]),
+        )
+        return original(
+            query, key, value, bias, mask, *args,
+            scale=scale, is_causal=is_causal, implementation=implementation,
+            **kwargs,
+        )
     # jax.nn.dot_product_attention uses [B, N, H, D]; FFPA uses [B, H, N, D].
     q = jnp.swapaxes(query, 1, 2)
     k = jnp.swapaxes(key, 1, 2)

@@ -14,6 +14,7 @@ cache length max_len), per-sequence prompt lengths are dynamic.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -120,18 +121,31 @@ def serve_batch(
     logits, cache = prefill_packed(params, packed, cu, max_seqlen, cfg, cache)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
 
-    # Batched decode: each sequence writes at its own position. decode_step
-    # uses one shared scalar pos, so step per-sequence via vmap-compatible
-    # per-batch positions: we keep it simple — positions differ, so use the
-    # per-sequence validity bias built from each row's own length.
-    outs = [tok]
-    positions = lens
-    for _ in range(steps - 1):
+    if steps == 1:
+        return tok[:, None]
+    # Batched ragged decode: ONE scanned decode-step program (mirrors
+    # generate._decode_loop_jit) — per-token Python dispatch would bound
+    # continuous-batching throughput by launch overhead, not the kernel.
+    rest = _batched_decode_loop_jit(params, cache, lens, tok, cfg, steps - 1)
+    return jnp.concatenate([tok[:, None], rest], axis=1)  # [B, steps]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps"))
+def _batched_decode_loop_jit(params, cache, positions, first, cfg: ModelConfig,
+                             steps: int):
+    """``steps`` ragged decode steps under one ``lax.scan`` (each sequence
+    writes/attends at its own position)."""
+
+    def body(carry, _):
+        cache, positions, tok = carry
         logits, cache = _batched_decode_step(params, cache, positions, tok, cfg)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        positions = positions + 1
-        outs.append(tok)
-    return jnp.stack(outs, axis=1)  # [B, steps]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, positions + 1, nxt), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (cache, positions, first), None, length=steps
+    )
+    return jnp.moveaxis(toks, 0, 1)  # [B, steps]
 
 
 def _batched_decode_step(params, cache, positions, token, cfg: ModelConfig):

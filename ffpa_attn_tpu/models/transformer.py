@@ -146,18 +146,23 @@ def _attention(layer, x, cfg: ModelConfig, mesh: Optional[Mesh], sp_axis, tp_axi
     k = _rope(k, positions)
 
     if mesh is not None and sp_axis is not None and mesh.shape[sp_axis] > 1:
-        # Sequence-sharded ring attention (GQA expanded first: ring kernel
-        # handles grouped heads natively, but head/sp 2-D sharding wants
-        # matching head counts across specs).
-        o = ring_attention_sharded(
-            q,
-            k,
-            v,
-            mesh,
-            seq_axis=sp_axis,
-            head_axis=None if mesh.shape.get(tp_axis, 1) == 1 else tp_axis,
-            causal=True,
-        )
+        s_count = mesh.shape[sp_axis]
+        head_axis = None if mesh.shape.get(tp_axis, 1) == 1 else tp_axis
+        if n % (2 * s_count) == 0:
+            # Zigzag layout: each chip owns one early + one late chunk, so
+            # the causal FLOP saving survives sharding (parallel/zigzag.py;
+            # the naive causal ring leaves chip 0 idle most steps).
+            from ..parallel.zigzag import zigzag_ring_attention_sharded
+
+            o = zigzag_ring_attention_sharded(
+                q, k, v, mesh, seq_axis=sp_axis, head_axis=head_axis,
+            )
+        else:
+            # Fallback for lengths the 2S-chunk layout can't split evenly.
+            o = ring_attention_sharded(
+                q, k, v, mesh,
+                seq_axis=sp_axis, head_axis=head_axis, causal=True,
+            )
     else:
         o = ffpa_attn_func(
             q, k, v, is_causal=True, enable_gqa=cfg.n_heads != cfg.n_kv_heads

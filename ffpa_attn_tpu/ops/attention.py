@@ -42,10 +42,29 @@ class StaticArgs:
     grad_kv_storage_dtype: Optional[str]
     grad_q_storage_dtype: Optional[str]
     ds_handoff: Optional[bool] = None
+    save_scores: Optional[bool] = None
+    # Hi+lo-split P for the dV matmul (float16-origin inputs: the 1e-2
+    # contract needs finer P rounding than bf16 gives; flash_bwd.py).
+    precise_pv: bool = False
+
+
+def _to_compute_dtype(q, k, v):
+    """Mosaic has no f16: f16 inputs compute in bf16 (fp32 accumulation
+    either way). The cast happens INSIDE the custom_vjp so the backward
+    receives the unrounded f16 cotangent (fp16 1e-2 contract)."""
+    if q.dtype == jnp.float16:
+        return (
+            q.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            True,
+        )
+    return q, k, v, False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
+    q, k, v, was_f16 = _to_compute_dtype(q, k, v)
     o, _ = flash_attention_forward(
         q,
         k,
@@ -57,11 +76,37 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
         dropout_seed=seed,
         config=static.fwd_config,
     )
-    return o
+    return o.astype(jnp.float16) if was_f16 else o
+
+
+def _should_save_scores(static: StaticArgs, q, k) -> bool:
+    """S-residency policy: training-path forwards emit the bf16 score
+    matrix when it fits the HBM budget, buying a 4-matmul backward
+    (flash_bwd.py). Auto mode requires bf16 inputs — for fp16 the extra
+    bf16 rounding of S would erode the 1e-2 parity contract — and a padded
+    scores footprint within ENV.scores_residual_limit_bytes."""
+    if static.backward_is_sdpa:
+        return False
+    if static.save_scores is not None:
+        return static.save_scores
+    if q.dtype != jnp.bfloat16:
+        return False
+    from ..env import ENV
+
+    limit = ENV.scores_residual_limit_bytes()
+    if limit <= 0:
+        return False
+    b, hq, nq, _ = q.shape
+    nkv = k.shape[2]
+    # Worst-case padding: one extra block (<= 1024) per axis.
+    scores_bytes = b * hq * (nq + 1024) * (nkv + 1024) * 2
+    return scores_bytes <= limit
 
 
 def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
-    o, lse = flash_attention_forward(
+    save_scores = _should_save_scores(static, q, k)
+    q, k, v, was_f16 = _to_compute_dtype(q, k, v)
+    result = flash_attention_forward(
         q,
         k,
         v,
@@ -71,12 +116,22 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
         dropout_p=static.dropout_p,
         dropout_seed=seed,
         config=static.fwd_config,
+        return_scores=save_scores,
     )
-    return o, (q, k, v, bias, o, lse, seed)
+    if save_scores:
+        o, lse, scores = result
+    else:
+        (o, lse), scores = result, None
+    out = o.astype(jnp.float16) if was_f16 else o
+    return out, (q, k, v, bias, o, lse, seed, scores)
 
 
 def _core_bwd(static: StaticArgs, residuals, do):
-    q, k, v, bias, o, lse, seed = residuals
+    # Residual q/k/v are in COMPUTE dtype (bf16); ``do`` arrives in the
+    # PRIMAL dtype — unrounded f16 for fp16 users, which the backward's
+    # hi+lo dO split needs (flash_bwd._dv_accumulate).
+    q, k, v, bias, o, lse, seed, scores = residuals
+    was_f16 = do.dtype == jnp.float16
     if static.backward_is_sdpa:
         # fp32 recompute path: numerically the reference oracle's own vjp.
         # jax.vjp differentiates through expand_kv_heads, so dk/dv come back
@@ -96,7 +151,7 @@ def _core_bwd(static: StaticArgs, residuals, do):
             )
 
         _, vjp = jax.vjp(_ref, q, k, v, bias)
-        dq, dk, dv, dbias = vjp(do)
+        dq, dk, dv, dbias = vjp(do.astype(o.dtype))
         dk = dk.astype(k.dtype)
         dv = dv.astype(v.dtype)
     else:
@@ -116,7 +171,17 @@ def _core_bwd(static: StaticArgs, residuals, do):
             grad_kv_storage_dtype=static.grad_kv_storage_dtype,
             grad_q_storage_dtype=static.grad_q_storage_dtype,
             ds_handoff=static.ds_handoff,
+            scores=scores,
+            precise_pv=static.precise_pv,
         )
+    if was_f16:
+        # Cotangents return in the primal's f16 unless an explicit grad
+        # storage dtype was requested.
+        if static.grad_q_storage_dtype is None and dq is not None:
+            dq = dq.astype(jnp.float16)
+        if static.grad_kv_storage_dtype is None:
+            dk = dk.astype(jnp.float16)
+            dv = dv.astype(jnp.float16)
     return dq, dk, dv, dbias, None
 
 
@@ -170,6 +235,7 @@ def apply_attention(
     v,
     bias,
     dropout_seed=0,
+    precise_pv: bool = False,
 ):
     """Dispatch a normalized attention call to the core op.
 
@@ -189,14 +255,16 @@ def apply_attention(
         from .decode import decode_attention_supported, decode_attention
 
         if decode_attention_supported(q, k):
-            return decode_attention(
-                q,
-                k,
-                v,
+            qb, kb, vb, was_f16 = _to_compute_dtype(q, k, v)
+            out = decode_attention(
+                qb,
+                kb,
+                vb,
                 bias,
                 scale=meta.scale,
                 is_causal=meta.is_causal,
             )
+            return out.astype(jnp.float16) if was_f16 else out
 
     fwd_config = None
     if isinstance(fwd_be, PallasBackend):
@@ -214,8 +282,10 @@ def apply_attention(
     grad_kv_dtype = None
     grad_q_dtype = None
     ds_handoff = None
+    save_scores = None
     if isinstance(bwd_be, PallasBackend):
         ds_handoff = bwd_be.ds_handoff
+        save_scores = bwd_be.save_scores
         if bwd_be.block_kv_dkdv is not None or bwd_be.block_q_dq is not None:
             base = BlockConfig()
             bwd_config = BlockConfig(
@@ -239,5 +309,7 @@ def apply_attention(
         grad_kv_storage_dtype=grad_kv_dtype,
         grad_q_storage_dtype=grad_q_dtype,
         ds_handoff=ds_handoff,
+        save_scores=save_scores,
+        precise_pv=precise_pv,
     )
     return ffpa_attention_core(static, q, k, v, bias, dropout_seed)

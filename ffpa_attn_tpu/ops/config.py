@@ -75,14 +75,20 @@ class BlockConfig:
 
 
 def fwd_vmem_bytes(
-    cfg: BlockConfig, d: int, dv: int, itemsize: int, has_bias: bool
+    cfg: BlockConfig,
+    d: int,
+    dv: int,
+    itemsize: int,
+    has_bias: bool,
+    emit_scores: bool = False,
 ) -> int:
     """Estimated VMEM for one forward grid cell (double-buffered streams).
 
     All grid-mapped blocks are double-buffered by Mosaic — Q and O blocks
     change with the (parallel) q-grid dim, K/V/bias with the kv dim
     (calibrated against a measured 16.15M OOM at (1024,512)+bias where the
-    single-buffer model predicted 13.2M).
+    single-buffer model predicted 13.2M). ``emit_scores`` adds the
+    double-buffered S-residual output block (S-resident backward).
     """
     bq, bkv = cfg.block_q, cfg.block_kv
     q_tile = 2 * bq * d * itemsize
@@ -91,7 +97,8 @@ def fwd_vmem_bytes(
     scratch = bq * LANE * 4 * 2 + bq * dv * 4  # m, l, acc
     out = 2 * bq * dv * itemsize
     bias = 2 * bq * bkv * 4 if has_bias else 0
-    return q_tile + kv_tiles + scores + scratch + out + bias
+    s_out = 2 * bq * bkv * itemsize if emit_scores else 0
+    return q_tile + kv_tiles + scores + scratch + out + bias + s_out
 
 
 def bwd_dkdv_vmem_bytes(
@@ -114,6 +121,21 @@ def bwd_dkdv_vmem_bytes(
     bias = 2 * bq * bkv * 4 if has_bias else 0
     ds_out = 2 * bq * bkv * itemsize if emit_ds else 0
     return kv_tiles + q_streams + scores + scratch + bias + ds_out
+
+
+def bwd_dkdv_from_s_vmem_bytes(
+    cfg: BlockConfig, d: int, dv: int, itemsize: int
+) -> int:
+    """VMEM for the S-resident dK/dV kernel: no K tile, no S recompute; the
+    streamed inputs are (S, Q, dO) tiles and the dS block is always emitted
+    (aliased over S in HBM)."""
+    bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+    v_tile = bkv * dv * itemsize  # owner
+    streams = 2 * (bq * d + bq * dv + bq * bkv) * itemsize  # q, do, s
+    scores = 3 * bq * bkv * 4  # p, dp, ds fp32 live values
+    scratch = bkv * (d + dv) * 4  # dk, dv accumulators
+    ds_out = 2 * bq * bkv * itemsize
+    return v_tile + streams + scores + scratch + ds_out
 
 
 def bwd_dq_vmem_bytes(

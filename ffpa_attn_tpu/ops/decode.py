@@ -7,11 +7,19 @@ merge, selected by a GPU-SM occupancy heuristic at :214-284).
 On TPU the design premise changes: a v5e chip has a single TensorCore, so
 splitting KV across "SMs" buys nothing — decode throughput is HBM-bandwidth
 bound on streaming K/V. The speed-of-light decode kernel is therefore a
-*single* pass: grid ``(B, Hq, Nkv/block_kv)`` with the KV axis innermost
-(Mosaic double-buffers the K/V DMA), a 16-row padded Q tile (minimum bf16
-sublane tile), and fp32 online-softmax accumulators. The reference's
-stage-2 LSE-merge formula survives in this codebase where it is actually
-needed on TPU: the cross-chip ring-attention combine (parallel/ring.py).
+*single* pass: grid ``(B, Hkv, Nkv/block_kv)`` with the KV axis innermost
+(Mosaic double-buffers the K/V DMA), a packed Q row tile, and fp32
+online-softmax accumulators. The reference's stage-2 LSE-merge formula
+survives in this codebase where it is actually needed on TPU: the
+cross-chip ring-attention combine (parallel/ring.py).
+
+**PackGQA head folding** (reference: cute/utils/pack_gqa.py:15-26): the
+whole GQA group is packed into the Q row tile — row ``r`` of the tile is
+(query head ``hk*group + r // Nq``, query position ``r % Nq``) — so K/V
+stream from HBM ONCE per KV head instead of once per Q head. On a
+bandwidth-bound kernel that is a ``group``-fold traffic cut (the dominant
+serving shape has group 4-8). Online softmax is per-row and therefore
+unchanged by packing.
 
 Backward for decode shapes delegates to the dense split-launch kernels
 (padded Q tile) — gradients at Nq<=8 are a training corner case.
@@ -58,6 +66,7 @@ def _decode_kernel(
     kv_padded,
     num_kv_blocks,
     has_bias,
+    nq,
 ):
     j = pl.program_id(2)
     bq = q_ref.shape[2]
@@ -70,7 +79,9 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if causal:
-        should_run = j * bkv <= bq - 1 + causal_offset
+        # Packed rows carry query positions r % nq <= nq-1; the whole tile
+        # can run whenever the first packed position's band reaches tile j.
+        should_run = j * bkv <= nq - 1 + causal_offset
     else:
         should_run = True
 
@@ -84,9 +95,10 @@ def _decode_kernel(
         if has_bias:
             s = s + jnp.broadcast_to(bias_ref[0, 0].astype(jnp.float32), s.shape)
         rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        qpos = rows % nq  # PackGQA: row r is query position r % nq
         cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
         if causal:
-            s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+            s = jnp.where(cols <= qpos + causal_offset, s, DEFAULT_MASK_VALUE)
         if kv_padded:
             s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
 
@@ -117,6 +129,15 @@ def _decode_kernel(
         lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-38))
 
 
+def _decode_block_kv(d: int, dv: int, nkv: int, dtype) -> int:
+    """Tuned-store lookup for the decode KV block (direction='decode'),
+    falling back to the measured v5e default of 1024."""
+    from .dispatch import pick_decode_config
+
+    cfg = pick_decode_config(d=d, dv=dv, nkv=nkv, dtype=dtype)
+    return cfg.block_kv if cfg is not None else 1024
+
+
 def _decode_forward(
     q,
     k,
@@ -125,7 +146,7 @@ def _decode_forward(
     *,
     scale,
     is_causal,
-    block_kv: int = 1024,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     b, hq, nq, d = q.shape
@@ -133,27 +154,39 @@ def _decode_forward(
     dv_dim = v.shape[-1]
     group = hq // hkv
 
-    bq = _DECODE_Q_TILE
-    q_p = _pad_dim(q, 2, bq)
+    if block_kv is None:
+        block_kv = _decode_block_kv(d, dv_dim, nkv, q.dtype)
+
+    # PackGQA: rows of the Q tile are (group, nq) pairs — row r is query
+    # head hk*group + r//nq at position r % nq. K/V stream once per KV
+    # head (reference cute/utils/pack_gqa.py:15-26).
+    rows = group * nq
+    bq = cdiv(rows, _DECODE_Q_TILE) * _DECODE_Q_TILE
+    q_packed = q.reshape(b, hkv, rows, d)
+    q_p = _pad_dim(q_packed, 2, bq)
     bkv = min(block_kv, max(LANE, cdiv(nkv, LANE) * LANE))
     nkv_pad = cdiv(nkv, bkv) * bkv
     k_p = _pad_dim(k, 2, nkv_pad)
     v_p = _pad_dim(v, 2, nkv_pad)
     num_kv_blocks = nkv_pad // bkv
 
-    # Tail-aligned causal offset uses the padded Q tile: rows beyond nq-1
-    # are padding, so compute the offset w.r.t. true nq but the mask rows
-    # use padded indices; padded rows see at least one col (harmless).
+    # Tail-aligned causal offset w.r.t. true nq; padded rows wrap to valid
+    # query positions (their outputs are sliced away).
     causal_offset = nkv - nq
 
     in_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b_, h, j: (b_, h, 0, 0)),
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, h, j, g=group: (b_, h // g, j, 0)),
-        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, h, j, g=group: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bq, d), lambda b_, hk, j: (b_, hk, 0, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j: (b_, hk, j, 0)),
     ]
     inputs = [q_p, k_p, v_p]
     has_bias = bias is not None
     if has_bias:
+        if bias.shape[1] != 1 or (bias.shape[2] != 1 and group > 1):
+            # Head- or row-varying bias must be packed like Q.
+            bias = jnp.broadcast_to(
+                bias, (bias.shape[0], hq, nq, bias.shape[3])
+            ).reshape(bias.shape[0], hkv, rows, bias.shape[3])
         bias_block = [1, 1, 1, 1]
         if bias.shape[2] != 1:
             bias = _pad_dim(bias, 2, bq)
@@ -161,10 +194,10 @@ def _decode_forward(
         bias = _pad_dim(bias, 3, nkv_pad)
         bias_block[3] = bkv
 
-        def bias_index(b_, h, j, shape=bias.shape):
+        def bias_index(b_, hk, j, shape=bias.shape):
             return (
                 b_ if shape[0] != 1 else 0,
-                h if shape[1] != 1 else 0,
+                hk if shape[1] != 1 else 0,
                 0,
                 j,
             )
@@ -182,19 +215,20 @@ def _decode_forward(
         kv_padded=nkv_pad != nkv,
         num_kv_blocks=num_kv_blocks,
         has_bias=has_bias,
+        nq=nq,
     )
 
     o, lse_wide = pl.pallas_call(
         kernel,
-        grid=(b, hq, num_kv_blocks),
+        grid=(b, hkv, num_kv_blocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, h, j: (b_, h, 0, 0)),
-            pl.BlockSpec((1, 1, bq, LANE), lambda b_, h, j: (b_, h, 0, 0)),
+            pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, hk, j: (b_, hk, 0, 0)),
+            pl.BlockSpec((1, 1, bq, LANE), lambda b_, hk, j: (b_, hk, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, bq, dv_dim), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, bq, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, bq, dv_dim), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, bq, LANE), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, LANE), jnp.float32),
@@ -207,8 +241,8 @@ def _decode_forward(
         interpret=use_interpret() if interpret is None else interpret,
     )(*inputs)
 
-    o = o[:, :, :nq]
-    lse = lse_wide[:, :, :nq, 0]
+    o = o[:, :, :rows].reshape(b, hq, nq, dv_dim)
+    lse = lse_wide[:, :, :rows, 0].reshape(b, hq, nq)
     return o, lse
 
 

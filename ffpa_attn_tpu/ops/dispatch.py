@@ -48,6 +48,28 @@ def pick_forward_config(
     return default_config(d, dv, nq, nkv, itemsize=itemsize, has_bias=has_bias)
 
 
+def pick_decode_config(
+    *, d: int, dv: int, nkv: int, dtype
+) -> Optional[BlockConfig]:
+    """Tuned-config lookup for the decode kernel (direction='decode');
+    returns None when no entry exists (caller uses the measured default).
+    The decode kernel's only block knob is ``block_kv``."""
+    from ..autotune.store import lookup_tuned_config
+
+    return lookup_tuned_config(
+        direction="decode",
+        d=d,
+        dv=dv,
+        nq=1,
+        nkv=nkv,
+        dtype=str(jnp.dtype(dtype)),
+        causal=False,
+        has_bias=False,
+        dropout=False,
+        gqa=False,
+    )
+
+
 def pick_backward_config(
     *,
     d: int,

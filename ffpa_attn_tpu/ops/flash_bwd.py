@@ -41,10 +41,41 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .config import BlockConfig, cdiv
+from .config import LANE, BlockConfig, cdiv
 from .flash_fwd import _pad_dim, use_interpret
 from .reference import DEFAULT_MASK_VALUE
 from .rng import dropout_keep_mask
+
+
+def _dv_accumulate(dv_scr, p_dropped, do, precise_pv: bool, do_lo=None):
+    """dV += P_drop^T @ dO. ``precise_pv`` splits P — and, when ``do_lo``
+    carries the f16 cotangent's low bf16 part, dO — into hi+lo bf16 pairs
+    (two extra MXU matmuls, dropping the lo*lo term): the float16 numerics
+    contract (1e-2, reference tests/test_ffpa_bwd.py:43-46) needs finer
+    rounding than bf16's 8 mantissa bits on BOTH operands (measured: P-split
+    alone leaves a ~7e-5 violation tail at N=2048; with the dO split the
+    error drops to ~1e-5, beating even the reference's native-fp16 path)."""
+    if precise_pv:
+        p_hi = p_dropped.astype(do.dtype)
+        p_lo = (p_dropped - p_hi.astype(jnp.float32)).astype(do.dtype)
+        acc = lax.dot_general(
+            p_hi, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + lax.dot_general(
+            p_lo, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if do_lo is not None:
+            acc += lax.dot_general(
+                p_hi, do_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dv_scr[...] += acc
+    else:
+        dv_scr[...] += lax.dot_general(
+            p_dropped.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _recompute_ds(
@@ -70,11 +101,15 @@ def _recompute_ds(
     col_start,
     bias=None,
     col_offset=0,
+    row_offset=0,
 ):
     """Shared tile math: returns (p_dropped, ds) both (bq, bkv) fp32.
 
     ``p_dropped`` is the dropout-applied normalized probability used for dV;
     ``ds`` is the pre-scale score gradient (also the bias gradient).
+    ``col_offset``/``row_offset`` map local tile coordinates back to GLOBAL
+    sequence positions for the dropout hash when the launch covers a
+    KV-stripe / Q-row slice of the full problem.
     """
     bq = q.shape[0]
     bkv = k.shape[0]
@@ -108,7 +143,8 @@ def _recompute_ds(
         # forward mask bit-identically. (bq,1)x(1,bkv) grids keep all but
         # the final hash combine off the full tile.
         keep = dropout_keep_mask(
-            seed, b_idx, h_idx, rows[:, :1], cols[:1, :] + col_offset,
+            seed, b_idx, h_idx, rows[:, :1] + row_offset,
+            cols[:1, :] + col_offset,
             dropout_p,
         )
         inv = jnp.float32(1.0 / (1.0 - dropout_p))
@@ -133,6 +169,7 @@ def _dkdv_kernel(
     k_ref,  # (1, 1, bkv, D)
     v_ref,  # (1, 1, bkv, Dv)
     do_ref,  # (1, 1, bq, Dv)
+    do_lo_ref,  # optional (1, 1, bq, Dv) — f16 cotangent low bf16 part
     lse_ref,  # (1, 1, 1, bq) — [B, H, 1, Nq] layout
     delta_ref,  # (1, 1, bq)
     bias_ref,  # optional
@@ -154,7 +191,9 @@ def _dkdv_kernel(
     has_bias,
     emit_ds,
     col_offset=0,
+    row_offset=0,
     group=1,
+    precise_pv=False,
 ):
     # Grid: (B, Hkv, kv-tiles, group*q-tiles) — the GQA group streams
     # through the SAME kv owner cell, so dK/dV accumulate across the whole
@@ -214,15 +253,12 @@ def _dkdv_kernel(
             col_start=j * bkv,
             bias=bias,
             col_offset=col_offset,
+            row_offset=row_offset,
         )
 
         # dV += P_drop^T @ dO   — (bkv, bq) @ (bq, Dv)
-        dv_scr[...] += lax.dot_general(
-            p_dropped.astype(do.dtype),
-            do,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        do_lo = do_lo_ref[0, 0] if do_lo_ref is not None else None
+        _dv_accumulate(dv_scr, p_dropped, do, precise_pv, do_lo=do_lo)
         # dK += scale * dS^T @ Q
         dk_scr[...] += jnp.float32(scale) * lax.dot_general(
             ds.astype(q.dtype),
@@ -237,6 +273,10 @@ def _dkdv_kernel(
 
     if emit_ds and causal:
         # Skipped above-diagonal tiles must still define their dS block.
+        # (A clamped out map that skips these writes NaNs on real hardware:
+        # Mosaic output revisiting is only safe when the revisited block is
+        # written on the FIRST step of its run — here the skipped steps
+        # precede the live one. Caught by the on-TPU verify lane.)
         @pl.when(jnp.logical_not(should_run))
         def _zero_ds():
             ds_ref[0, 0] = jnp.zeros_like(ds_ref[0, 0])
@@ -245,6 +285,266 @@ def _dkdv_kernel(
     def _epilogue():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# S-resident dK/dV kernel: consumes the forward's S residual — no S
+# recompute, no K input. Together with the dS-handoff dQ einsum this is a
+# 4-matmul backward (dP, dV, dK here + dS@K), matching the matmul count of
+# XLA's P-saving composite SDPA while keeping flash-style numerics.
+# ---------------------------------------------------------------------------
+
+
+def _dkdv_from_s_kernel(
+    seed_ref,
+    s_ref,  # (1, 1, bq, bkv) — saved post-scale/bias/mask scores
+    q_ref,  # (1, 1, bq, D)
+    v_ref,  # (1, 1, bkv, Dv)
+    do_ref,  # (1, 1, bq, Dv)
+    lse_ref,  # (1, 1, 1, bq)
+    delta_ref,  # (1, 1, 1, bq)
+    dk_ref,  # (1, 1, bkv, D) out
+    dv_ref,  # (1, 1, bkv, Dv) out
+    ds_ref,  # (1, 1, bq, bkv) out — bf16 dS handoff (HBM-aliased over S)
+    dk_scr,  # VMEM (bkv, D) f32
+    dv_scr,  # VMEM (bkv, Dv) f32
+    *,
+    scale,
+    causal,
+    causal_offset,
+    true_nq,
+    q_padded,
+    dropout_p,
+    num_q_blocks,
+    group=1,
+    precise_pv=False,
+):
+    b_idx = pl.program_id(0)
+    hk_idx = pl.program_id(1)
+    j = pl.program_id(2)  # kv tile owner
+    gi = pl.program_id(3)  # g * num_q_blocks + i
+    g = gi // num_q_blocks
+    i = gi % num_q_blocks
+    h_idx = hk_idx * group + g
+
+    bq = q_ref.shape[2]
+    bkv = s_ref.shape[3]
+
+    @pl.when(gi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0, 0][:, None]
+        delta_row = delta_ref[0, 0, 0][:, None]
+        s = s_ref[0, 0].astype(jnp.float32)
+
+        # Saved S already carries scale/bias/causal/kv-pad masking (masked
+        # entries hold DEFAULT_MASK_VALUE -> p == 0).
+        p = jnp.exp(s - lse_row)
+        rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + i * bq
+        if q_padded:
+            p = jnp.where(rows < true_nq, p, 0.0)
+
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        if dropout_p > 0.0:
+            cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
+            keep = dropout_keep_mask(
+                seed_ref[0, 0], b_idx, h_idx, rows[:, :1], cols[:1, :],
+                dropout_p,
+            )
+            inv = jnp.float32(1.0 / (1.0 - dropout_p))
+            p_dropped = jnp.where(keep, p, 0.0) * inv
+            dp_eff = jnp.where(keep, dp, 0.0) * inv
+        else:
+            p_dropped = p
+            dp_eff = dp
+
+        ds = p * (dp_eff - delta_row)
+
+        _dv_accumulate(dv_scr, p_dropped, do, precise_pv)
+        dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds_ref[0, 0] = ds.astype(ds_ref.dtype)
+
+    if causal:
+        # Skipped tiles always write zero dS here. A clamped out map (as in
+        # the non-aliased handoff kernel) is UNSAFE with the S->dS aliasing:
+        # mapping skipped steps onto the diagonal slot makes their write-back
+        # race the prefetch of the S tile still to be read there (caught as
+        # NaN dq on real hardware; interpret mode serializes and hides it).
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_ds():
+            ds_ref[0, 0] = jnp.zeros_like(ds_ref[0, 0])
+
+    @pl.when(gi == group * num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dkdv_from_s_launch(
+    q, v, s_pad, do, lse, delta, seed_arr, config,
+    *, scale, is_causal, causal_offset, dropout_p, group,
+    grad_kv_storage_dtype, interpret, precise_pv=False,
+):
+    """Launch the S-resident dK/dV kernel. ``s_pad`` is the forward's padded
+    [B, Hq, nq_pad, nkv_pad] residual; its padding dictates the block grid,
+    so the config's dkdv blocks must divide it (``_fit_blocks_to_scores``).
+    Returns (dk, dv, ds_full) with ds_full aliased over s_pad's HBM."""
+    b, hq, nq, d = q.shape
+    hkv = v.shape[1]
+    nkv = v.shape[2]
+    dv_dim = v.shape[-1]
+    bq, bkv = config.block_q_dkdv, config.block_kv_dkdv
+    nq_pad, nkv_pad = s_pad.shape[2], s_pad.shape[3]
+    q_p = _pad_dim(q, 2, nq_pad)
+    do_p = _pad_dim(do, 2, nq_pad)
+    lse_p = _pad_dim(lse, 2, nq_pad)
+    delta_p = _pad_dim(delta, 2, nq_pad)
+    v_p = _pad_dim(v, 2, nkv_pad)
+
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+    nqb = num_q_blocks
+
+    if is_causal:
+
+        def qi_index(j, i, bq=bq, bkv=bkv, off=causal_offset):
+            i_min = jnp.maximum(0, -(-(j * bkv + 1 - off) // bq) - 1)
+            return jnp.maximum(i, i_min)
+
+    else:
+
+        def qi_index(j, i):
+            return i
+
+    def qh(hk, gi, g=group):
+        return hk * g + gi // nqb
+
+    def qi(j, gi):
+        return qi_index(j, gi % nqb)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, 1, bq, bkv), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), j)
+        ),
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0)
+        ),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+        pl.BlockSpec(
+            (1, 1, bq, dv_dim),
+            lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
+        ),
+    ]
+    inputs = [
+        seed_arr, s_pad, q_p, v_p, do_p,
+        lse_p[:, :, None, :], delta_p[:, :, None, :],
+    ]
+
+    kernel = functools.partial(
+        _dkdv_from_s_kernel,
+        scale=scale,
+        causal=is_causal,
+        causal_offset=causal_offset,
+        true_nq=nq,
+        q_padded=nq_pad != nq,
+        dropout_p=float(dropout_p),
+        num_q_blocks=num_q_blocks,
+        group=group,
+        precise_pv=precise_pv,
+    )
+
+    ds_map = lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j)
+    dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)
+    out_specs = [
+        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bq, bkv), ds_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hkv, nkv_pad, d), dk_dtype),
+        jax.ShapeDtypeStruct((b, hkv, nkv_pad, dv_dim), dk_dtype),
+        jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), s_pad.dtype),
+    ]
+    dk, dv, ds_full = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, num_kv_blocks, group * num_q_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+        # dS overwrites the S residual in place: each (i, j) block is read
+        # and written in the same grid step, and the residual has no other
+        # consumer — halves the N^2 HBM footprint.
+        input_output_aliases={1: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if nkv_pad != nkv:
+        dk = dk[:, :, :nkv]
+        dv = dv[:, :, :nkv]
+    dv = dv.astype(_grad_dtype(grad_kv_storage_dtype, v.dtype))
+    return dk, dv, ds_full
+
+
+def _fit_blocks_to_scores(config: BlockConfig, nq_pad, nkv_pad, d, dv, dtype):
+    """Pick dkdv blocks that divide the saved S residual's padded layout
+    and fit the from-S kernel's VMEM budget."""
+    from dataclasses import replace
+
+    from ..env import ENV
+    from .config import bwd_dkdv_from_s_vmem_bytes
+
+    limit = ENV.vmem_limit_bytes()
+    itemsize = jnp.dtype(dtype).itemsize
+    cfg = config
+    while nq_pad % cfg.block_q_dkdv != 0 and cfg.block_q_dkdv > LANE:
+        cfg = replace(cfg, block_q_dkdv=cfg.block_q_dkdv // 2)
+    while nkv_pad % cfg.block_kv_dkdv != 0 and cfg.block_kv_dkdv > LANE:
+        cfg = replace(cfg, block_kv_dkdv=cfg.block_kv_dkdv // 2)
+    while (
+        bwd_dkdv_from_s_vmem_bytes(cfg, d, dv, itemsize) > limit
+    ):
+        bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+        if bq >= 2 * LANE and bq >= bkv:
+            cfg = replace(cfg, block_q_dkdv=bq // 2)
+        elif bkv >= 2 * LANE:
+            cfg = replace(cfg, block_kv_dkdv=bkv // 2)
+        else:
+            break
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +679,16 @@ def flash_attention_backward(
     run_dkdv: bool = True,
     run_dq: bool = True,
     ds_handoff: Optional[bool] = None,
+    scores: Optional[jnp.ndarray] = None,
+    precise_pv: bool = False,
 ):
     """Three-launch backward. Returns (dq, dk, dv, dbias_or_None).
+
+    ``scores`` (optional): the forward's padded S residual
+    [B, Hq, nq_pad, nkv_pad] (``flash_attention_forward(return_scores=
+    True)``). When present the backward drops its S recompute — the from-S
+    dK/dV kernel plus the dS dQ einsum total 4 matmul-equivalents instead
+    of 5, and K is no longer read by the dK/dV pass.
 
     ``k``/``v`` keep their [B, Hkv, Nkv, D] layout; GQA is handled by
     computing per-Q-head dk/dv and group-summing (expand/reduce,
@@ -416,10 +724,51 @@ def flash_attention_backward(
     seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
 
     # Preprocess: delta = rowsum(dO * O) — XLA-fused (reference launch 1,
-    # triton/_ffpa_bwd.py:2275-2322).
+    # triton/_ffpa_bwd.py:2275-2322). Computed BEFORE any dO cast so f16
+    # cotangents contribute exactly.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
+    # f16 cotangent: kernels stream bf16; split off the low bf16 part so
+    # the precise dV matmul can restore the full f16 mantissa
+    # (_dv_accumulate; fp16 1e-2 contract).
+    do_lo = None
+    if do.dtype == jnp.float16:
+        do32 = do.astype(jnp.float32)
+        do = do.astype(jnp.bfloat16)
+        if precise_pv:
+            do_lo = (do32 - do.astype(jnp.float32)).astype(jnp.bfloat16)
+
     causal_offset = nkv - nq
+
+    if scores is not None and run_dkdv and run_dq:
+        nq_pad, nkv_pad = scores.shape[2], scores.shape[3]
+        config = _fit_blocks_to_scores(config, nq_pad, nkv_pad, d, dv_dim, q.dtype)
+        dk, dv, ds_full = _dkdv_from_s_launch(
+            q, v, scores, do, lse, delta, seed_arr, config,
+            scale=scale, is_causal=is_causal, causal_offset=causal_offset,
+            dropout_p=dropout_p, group=group,
+            grad_kv_storage_dtype=grad_kv_storage_dtype,
+            interpret=interpret, precise_pv=precise_pv,
+        )
+        dq_dtype = _grad_dtype(grad_q_storage_dtype, q.dtype)
+        if is_causal:
+            dq = _banded_dq_from_ds(
+                ds_full, k, config,
+                scale=scale, group=group, nq=nq, nkv=nkv,
+                causal_offset=causal_offset,
+                dq_dtype=dq_dtype, interpret=interpret,
+            )
+            dbias = None
+            if bias is not None:
+                dbias = _dbias_from_ds(
+                    ds_full[:, :, :nq, :nkv], bias
+                ).astype(bias.dtype)
+        else:
+            dq, dbias = _dq_from_ds(
+                ds_full, k, bias,
+                scale=scale, group=group, nq=nq, nkv=nkv, dq_dtype=dq_dtype,
+            )
+        return dq, dk, dv, dbias
 
     # Handoff decision + KV striping: the dS buffer is bounded by the env
     # budget; when the full [B,Hq,Nq,Nkv] doesn't fit, process KV in
@@ -442,66 +791,116 @@ def flash_attention_backward(
 
     if ds_handoff:
         bkv_h = config.block_kv_dkdv
+        bq_h = config.block_q_dkdv
         n_stripes = max(1, cdiv(ds_bytes, max(limit, 1)))
         stripe_cols = cdiv(cdiv(nkv, n_stripes), bkv_h) * bkv_h
         dq_dtype = _grad_dtype(grad_q_storage_dtype, q.dtype)
-        dq_acc = None
+        single = stripe_cols >= nkv
+        dq_acc = (
+            None if single
+            else jnp.zeros((b, hq, nq, d), jnp.float32)
+        )
         dk_parts, dv_parts, dbias_parts = [], [], []
         for lo in range(0, nkv, stripe_cols):
             hi = min(nkv, lo + stripe_cols)
+            # Causal: Q rows < lo - offset cannot see this KV stripe, so
+            # slice them off — later stripes get proportionally smaller dS
+            # slabs, grids and dq updates (the stripe loop's cost follows
+            # the causal triangle instead of the full rectangle).
+            row_start = 0
+            if is_causal and lo > causal_offset:
+                row_start = ((lo - causal_offset) // bq_h) * bq_h
             k_s = k[:, :, lo:hi] if (lo, hi) != (0, nkv) else k
             v_s = v[:, :, lo:hi] if (lo, hi) != (0, nkv) else v
+            q_s, do_s, lse_s, delta_s = q, do, lse, delta
+            do_lo_s = do_lo
+            if row_start:
+                q_s = q[:, :, row_start:]
+                do_s = do[:, :, row_start:]
+                lse_s = lse[:, :, row_start:]
+                delta_s = delta[:, :, row_start:]
+                if do_lo is not None:
+                    do_lo_s = do_lo[:, :, row_start:]
             bias_s = bias
-            if bias is not None and bias.shape[3] != 1:
-                bias_s = bias[:, :, :, lo:hi]
+            if bias is not None:
+                if bias.shape[3] != 1:
+                    bias_s = bias_s[:, :, :, lo:hi]
+                if row_start and bias.shape[2] != 1:
+                    bias_s = bias_s[:, :, row_start:]
+            local_off = causal_offset - lo + row_start
             dk_s, dv_s, ds_s = _dkdv_launch(
-                q, k_s, v_s, bias_s, do, lse, delta, seed_arr, config,
+                q_s, k_s, v_s, bias_s, do_s, lse_s, delta_s, seed_arr,
+                config,
                 scale=scale, is_causal=is_causal,
-                causal_offset=causal_offset - lo,
+                causal_offset=local_off,
                 dropout_p=dropout_p, group=group,
                 grad_kv_storage_dtype=grad_kv_storage_dtype,
                 interpret=interpret, emit_ds=True, col_offset=lo,
+                row_offset=row_start, precise_pv=precise_pv, do_lo=do_lo_s,
             )
             dk_parts.append(dk_s)
             dv_parts.append(dv_s)
+            nq_loc = nq - row_start
             if is_causal:
                 # Banded kernel: above-diagonal dS tiles are skipped
                 # (the XLA einsum would burn the full N^2).
                 dq_s = _banded_dq_from_ds(
                     ds_s, k_s, config,
-                    scale=scale, group=group, nq=nq, nkv=hi - lo,
-                    causal_offset=causal_offset - lo,
-                    dq_dtype=jnp.float32, interpret=interpret,
+                    scale=scale, group=group, nq=nq_loc, nkv=hi - lo,
+                    causal_offset=local_off,
+                    dq_dtype=dq_dtype if single else jnp.float32,
+                    interpret=interpret,
                 )
                 dbias_s = None
                 if bias is not None:
                     dbias_s = _dbias_from_ds(
-                        ds_s[:, :, :nq, : hi - lo], bias
+                        ds_s[:, :, :nq_loc, : hi - lo], bias
                     )
             else:
                 dq_s, dbias_s = _dq_from_ds(
                     ds_s, k_s, bias_s,
-                    scale=scale, group=group, nq=nq, nkv=hi - lo,
-                    dq_dtype=jnp.float32,
+                    scale=scale, group=group, nq=nq_loc, nkv=hi - lo,
+                    dq_dtype=dq_dtype if single else jnp.float32,
                 )
-            dq_acc = dq_s if dq_acc is None else dq_acc + dq_s
+            if single:
+                dq_acc = dq_s
+            elif row_start:
+                dq_acc = dq_acc.at[:, :, row_start:].add(dq_s)
+            else:
+                dq_acc = dq_acc + dq_s
             if dbias_s is not None:
-                dbias_parts.append(dbias_s)
-        dq = dq_acc.astype(dq_dtype)
+                dbias_parts.append((row_start, dbias_s))
+        dq = dq_acc if single else dq_acc.astype(dq_dtype)
         dk = dk_parts[0] if len(dk_parts) == 1 else jnp.concatenate(dk_parts, axis=2)
         dv = dv_parts[0] if len(dv_parts) == 1 else jnp.concatenate(dv_parts, axis=2)
         dbias = None
         if bias is not None:
+            parts = dbias_parts
             if bias.shape[3] != 1:
-                dbias = (
-                    dbias_parts[0]
-                    if len(dbias_parts) == 1
-                    else jnp.concatenate(dbias_parts, axis=3)
-                )
+                # Column-striped parts; rows may be sliced — scatter each
+                # part into the full [.., Nq|1, Nkv] gradient.
+                full_rows = bias.shape[2] != 1
+                cols = [p.shape[3] for _, p in parts]
+                if not full_rows or all(rs == 0 for rs, _ in parts):
+                    dbias = jnp.concatenate([p for _, p in parts], axis=3)
+                else:
+                    dbias = jnp.zeros(
+                        bias.shape[:3] + (sum(cols),), jnp.float32
+                    )
+                    off = 0
+                    for rs, p in parts:
+                        dbias = lax.dynamic_update_slice(
+                            dbias, p.astype(jnp.float32), (0, 0, rs, off)
+                        )
+                        off += p.shape[3]
             else:
-                dbias = dbias_parts[0]
-                for p in dbias_parts[1:]:
-                    dbias = dbias + p
+                dbias = None
+                for rs, p in parts:
+                    if bias.shape[2] != 1 and rs:
+                        p = jnp.pad(
+                            p, ((0, 0),) * 2 + ((rs, 0), (0, 0))
+                        )
+                    dbias = p if dbias is None else dbias + p
             dbias = dbias.astype(bias.dtype)
         return dq, dk, dv, dbias
 
@@ -511,7 +910,8 @@ def flash_attention_backward(
             scale=scale, is_causal=is_causal, causal_offset=causal_offset,
             dropout_p=dropout_p, group=group,
             grad_kv_storage_dtype=grad_kv_storage_dtype,
-            interpret=interpret, emit_ds=False,
+            interpret=interpret, emit_ds=False, precise_pv=precise_pv,
+            do_lo=do_lo,
         )
     else:
         dk = dv = None
@@ -710,6 +1110,7 @@ def _dkdv_launch(
     q, k, v, bias, do, lse, delta, seed_arr, config,
     *, scale, is_causal, causal_offset, dropout_p, group,
     grad_kv_storage_dtype, interpret, emit_ds=False, col_offset=0,
+    row_offset=0, precise_pv=False, do_lo=None,
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -755,6 +1156,10 @@ def _dkdv_launch(
     def qi(j, gi):
         return qi_index(j, gi % nqb)
 
+    do_spec = pl.BlockSpec(
+        (1, 1, bq, dv_dim),
+        lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
+    )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
@@ -762,10 +1167,14 @@ def _dkdv_launch(
         ),
         pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0)),
         pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
-        pl.BlockSpec(
-            (1, 1, bq, dv_dim),
-            lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
-        ),
+        do_spec,
+    ]
+    inputs = [seed_arr, q_p, k_p, v_p, do_p]
+    has_dolo = do_lo is not None
+    if has_dolo:
+        in_specs.append(do_spec)
+        inputs.append(_pad_dim(do_lo, 2, nq_pad))
+    in_specs += [
         pl.BlockSpec(
             (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
         ),
@@ -773,7 +1182,7 @@ def _dkdv_launch(
             (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
         ),
     ]
-    inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
+    inputs += [lse_p[:, :, None, :], delta_p[:, :, None, :]]
     if has_bias:
         bm = bias_map_dkdv
 
@@ -784,7 +1193,7 @@ def _dkdv_launch(
         inputs.append(bias_dkdv)
 
     dkdv_kernel = functools.partial(
-        _adapt_dkdv(_dkdv_kernel, has_bias, emit_ds),
+        _adapt_dkdv(_dkdv_kernel, has_bias, emit_ds, has_dolo),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -797,7 +1206,9 @@ def _dkdv_launch(
         has_bias=has_bias,
         emit_ds=emit_ds,
         col_offset=col_offset,
+        row_offset=row_offset,
         group=group,
+        precise_pv=precise_pv,
     )
 
     dk_dtype = _grad_dtype(grad_kv_storage_dtype, k.dtype)
@@ -810,12 +1221,8 @@ def _dkdv_launch(
         jax.ShapeDtypeStruct((b, hkv, nkv_pad, dv_dim), dk_dtype),
     ]
     if emit_ds:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, bq, bkv),
-                lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j),
-            )
-        )
+        ds_map = lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j)
+        out_specs.append(pl.BlockSpec((1, 1, bq, bkv), ds_map))
         out_shape.append(
             jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), q.dtype)
         )
@@ -1000,13 +1407,18 @@ def _bias_spec(bias, bq, bkv, nq_pad, nkv_pad, kv_major: bool):
     return bias, tuple(block), index_map
 
 
-def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool):
+def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool, has_dolo: bool = False):
     """Map the actual pallas ref list to the full _dkdv_kernel signature."""
 
     @functools.wraps(kernel)
     def wrapped(*refs, **kw):
         refs = list(refs)
-        pos = 7
+        pos = 5
+        do_lo_ref = refs[pos] if has_dolo else None
+        if has_dolo:
+            pos += 1
+        lse_ref, delta_ref = refs[pos : pos + 2]
+        pos += 2
         bias_ref = refs[pos] if has_bias else None
         if has_bias:
             pos += 1
@@ -1017,7 +1429,8 @@ def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool):
             pos += 1
         dk_scr, dv_scr = refs[pos : pos + 2]
         return kernel(
-            *refs[:7], bias_ref, dk_ref, dv_ref, ds_ref, dk_scr, dv_scr, **kw
+            *refs[:5], do_lo_ref, lse_ref, delta_ref, bias_ref,
+            dk_ref, dv_ref, ds_ref, dk_scr, dv_scr, **kw
         )
 
     return wrapped

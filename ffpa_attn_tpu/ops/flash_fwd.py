@@ -82,6 +82,7 @@ def _fwd_kernel(
     bias_ref,  # (1, 1, bq|1, bkv|1) or absent
     o_ref,  # (1, 1, block_q, Dv)
     lse_ref,  # (1, 1, 1, block_q) — LSE stored [B, H, 1, Nq] (legal block)
+    s_ref,  # optional (1, 1, block_q, block_kv) — S-residual emission
     m_scr,  # VMEM (block_q, LANE) f32
     l_scr,  # VMEM (block_q, LANE) f32
     acc_scr,  # VMEM (block_q, Dv) f32
@@ -94,6 +95,7 @@ def _fwd_kernel(
     dropout_p: float,
     num_kv_blocks: int,
     has_bias: bool,
+    emit_scores: bool = False,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -139,6 +141,11 @@ def _fwd_kernel(
         if kv_padded:
             s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
 
+        if emit_scores:
+            # S-residual: the post-scale/bias/mask scores, exactly what the
+            # from-S backward exponentiates against the saved LSE.
+            s_ref[0, 0] = s.astype(s_ref.dtype)
+
         m_prev = m_scr[...]  # (block_q, LANE), lanes replicated
         l_prev = l_scr[...]
         m_tile = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
@@ -170,6 +177,12 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
 
+    # Causal: S blocks above the diagonal are never written — the S out
+    # index map clamps to the diagonal, so Mosaic keeps one VMEM buffer per
+    # visited slot and masked tiles cost no HBM writes. Consumers
+    # (flash_bwd from-S kernel, banded dQ) skip those tiles by the same
+    # predicate and never read the uninitialized regions.
+
     @pl.when(j == num_kv_blocks - 1)
     def _epilogue():
         l = l_scr[:, 0:1]
@@ -190,6 +203,8 @@ def flash_attention_forward(
     dropout_seed=0,
     config: Optional[BlockConfig] = None,
     interpret: Optional[bool] = None,
+    return_scores: bool = False,
+    scores_dtype=jnp.bfloat16,
 ):
     """Launch the forward kernel.
 
@@ -197,9 +212,14 @@ def flash_attention_forward(
       q: [B, Hq, Nq, D]; k: [B, Hkv, Nkv, D]; v: [B, Hkv, Nkv, Dv].
       bias: fp32 additive bias, 4-D broadcast-compact, or None.
       dropout_seed: int or traced int32 scalar.
+      return_scores: additionally emit the post-scale/bias/mask score
+        matrix S as a ``scores_dtype`` [B, Hq, Nq_pad, Nkv_pad] residual
+        (PADDED — the from-S backward consumes the padded layout directly).
+        This powers the 4-matmul S-resident backward (flash_bwd.py).
 
     Returns:
-      (o [B, Hq, Nq, Dv] in q.dtype, lse [B, Hq, Nq] fp32).
+      (o [B, Hq, Nq, Dv] in q.dtype, lse [B, Hq, Nq] fp32)
+      plus the padded S residual when ``return_scores``.
     """
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -214,6 +234,8 @@ def flash_attention_forward(
             causal=is_causal, has_bias=bias is not None,
         )
     config = config.clamp(nq, nkv)
+    if return_scores:
+        config = _fit_fwd_for_scores(config, d, dv, q.dtype, bias is not None)
     bq, bkv = config.block_q, config.block_kv
 
     nq_pad = cdiv(nq, bq) * bq
@@ -277,7 +299,7 @@ def flash_attention_forward(
         inputs.append(bias)
 
     kernel = functools.partial(
-        _fwd_kernel if has_bias else _no_bias(_fwd_kernel),
+        _adapt_fwd(_fwd_kernel, has_bias, return_scores),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -286,6 +308,7 @@ def flash_attention_forward(
         dropout_p=float(dropout_p),
         num_kv_blocks=num_kv_blocks,
         has_bias=has_bias,
+        emit_scores=return_scores,
     )
 
     out_shape = [
@@ -296,6 +319,21 @@ def flash_attention_forward(
         pl.BlockSpec((1, 1, bq, dv), lambda b_, h, i, j: (b_, h, i, 0)),
         pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
     ]
+    if return_scores:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), scores_dtype)
+        )
+        if is_causal:
+
+            def s_index(b_, h, i, j):
+                j_max = ((i + 1) * bq - 1 + causal_offset) // bkv
+                return (b_, h, i, jnp.minimum(j, j_max))
+
+            out_specs.append(pl.BlockSpec((1, 1, bq, bkv), s_index))
+        else:
+            out_specs.append(
+                pl.BlockSpec((1, 1, bq, bkv), lambda b_, h, i, j: (b_, h, i, j))
+            )
     scratch_shapes = [
         pltpu.VMEM((bq, LANE), jnp.float32),
         pltpu.VMEM((bq, LANE), jnp.float32),
@@ -306,7 +344,7 @@ def flash_attention_forward(
     if is_causal:
         flops = flops // 2
     itemsize = jnp.dtype(q.dtype).itemsize
-    o, lse = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -326,21 +364,62 @@ def flash_attention_forward(
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(*inputs)
+    if return_scores:
+        o, lse, s_pad = result
+    else:
+        o, lse = result
+        s_pad = None
 
     lse = lse[:, :, 0, :]
     if nq_pad != nq:
         o = o[:, :, :nq]
         lse = lse[:, :, :nq]
+    if return_scores:
+        return o, lse, s_pad
     return o, lse
 
 
-def _no_bias(kernel):
-    """Adapt the kernel signature when no bias input is passed."""
+def _fit_fwd_for_scores(config: BlockConfig, d, dv, dtype, has_bias):
+    """Shrink forward blocks until the extra S output block fits VMEM."""
+    from dataclasses import replace
+
+    from ..env import ENV
+
+    limit = ENV.vmem_limit_bytes()
+    itemsize = jnp.dtype(dtype).itemsize
+    cfg = config
+    while (
+        fwd_vmem_bytes(cfg, d, dv, itemsize, has_bias, emit_scores=True)
+        > limit
+    ):
+        bq, bkv = cfg.block_q, cfg.block_kv
+        if bq >= 2 * LANE and bq >= bkv:
+            cfg = replace(cfg, block_q=bq // 2)
+        elif bkv >= 2 * LANE:
+            cfg = replace(cfg, block_kv=bkv // 2)
+        else:
+            break
+    return cfg
+
+
+def _adapt_fwd(kernel, has_bias: bool, emit_scores: bool):
+    """Map the actual pallas ref list to the full _fwd_kernel signature."""
 
     @functools.wraps(kernel)
-    def wrapped(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, **kw):
+    def wrapped(*refs, **kw):
+        refs = list(refs)
+        pos = 4
+        bias_ref = refs[pos] if has_bias else None
+        if has_bias:
+            pos += 1
+        o_ref, lse_ref = refs[pos : pos + 2]
+        pos += 2
+        s_ref = refs[pos] if emit_scores else None
+        if emit_scores:
+            pos += 1
+        m, l, acc = refs[pos : pos + 3]
         return kernel(
-            seed_ref, q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc, **kw
+            *refs[:4], bias_ref, o_ref, lse_ref, s_ref, m, l, acc, **kw
         )
 
     return wrapped

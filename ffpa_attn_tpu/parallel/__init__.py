@@ -5,13 +5,14 @@ supplies the TPU-native scaling tier required by BASELINE.json: shard_map
 wrappers whose collectives (ppermute / psum) compile onto ICI.
 """
 
-from .mesh import make_mesh
+from .mesh import initialize_distributed, make_mesh
 from .ring import ring_attention, ring_attention_sharded
 from .tp import head_parallel_attention
 from .ulysses import ulysses_attention, ulysses_attention_sharded
 from .zigzag import zigzag_ring_attention_sharded
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "ring_attention",
     "ring_attention_sharded",

@@ -257,12 +257,15 @@ def zigzag_ring_attention_sharded(
     mesh: Mesh,
     *,
     seq_axis: str = "sp",
+    head_axis: Optional[str] = None,
     scale: Optional[float] = None,
 ):
     """Whole-array causal zigzag ring attention (natural sequence order).
 
     Requires N % (2 * mesh.shape[seq_axis]) == 0 and self-attention shapes
-    (Nq == Nkv; GQA KV heads replicated per shard is fine).
+    (Nq == Nkv; GQA KV heads replicated per shard is fine). ``head_axis``
+    adds independent head (TP) sharding on top of the sequence ring, as in
+    ring.py:ring_attention_sharded.
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
@@ -271,7 +274,7 @@ def zigzag_ring_attention_sharded(
     kz = zigzag_shuffle(k, s_count)
     vz = zigzag_shuffle(v, s_count)
 
-    spec = P(None, None, seq_axis, None)
+    spec = P(None, head_axis, seq_axis, None)
     fn = make_zigzag_ring_attention(seq_axis, s_count, scale=float(scale))
     oz = shard_map(
         fn,

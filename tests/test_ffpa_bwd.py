@@ -256,3 +256,140 @@ def test_bwd_ds_handoff_striped(monkeypatch):
     # kernel's sequential accumulation — tolerance, not bit-equality.
     for name, r, g in zip(("dq", "dk", "dv"), ref, got):
         _assert_rel_close(g, r, name)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("save_scores", [True, False])
+def test_bwd_save_scores_paths(causal, save_scores):
+    """Both residual policies (S-resident 4-matmul backward vs the
+    flash-style recompute/handoff backward) satisfy the numerics contract
+    through the public API (flash_bwd.py:_dkdv_from_s_kernel)."""
+    from ffpa_attn_tpu.functional import PallasBackend
+
+    dtype = jnp.bfloat16
+    b, hq, hkv, nq, nkv, d = 1, 4, 2, 250, 384, 320
+    q, k, v, do = _make(b, hq, hkv, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+
+    def ffpa(q_, k_, v_):
+        return ffpa_attn_func(
+            q_, k_, v_, is_causal=causal, enable_gqa=True,
+            backward_backend=PallasBackend(save_scores=save_scores),
+        )
+
+    def oracle(q_, k_, v_):
+        return reference_attention(
+            q_, expand_kv_heads(k_, hq), expand_kv_heads(v_, hq), None,
+            is_causal=causal, scale=scale,
+        )
+
+    dq, dk, dv = _grads(ffpa, (q, k, v), do)
+    dq_r, dk_r, dv_r = _grads(oracle, (q, k, v), do)
+    _assert_close(dq, dq_r, dtype, "dq")
+    _assert_close(dk, dk_r, dtype, "dk")
+    _assert_close(dv, dv_r, dtype, "dv")
+
+
+def test_bwd_save_scores_dropout_bias():
+    """S-resident backward replays dropout and reduces dbias from the
+    aliased dS buffer (skipped causal tiles must yield zero dS)."""
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, hq, nq, nkv, d = 1, 2, 256, 384, 320
+    q, k, v, do = _make(b, hq, hq, nq, nkv, d, dtype)
+    bias = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 1, nkv), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    o, lse, s = flash_attention_forward(
+        q, k, v, bias, scale=scale, is_causal=True, dropout_p=0.1,
+        dropout_seed=3, return_scores=True,
+    )
+    ref = flash_attention_backward(
+        q, k, v, bias, o, lse, do, scale=scale, is_causal=True,
+        dropout_p=0.1, dropout_seed=3, ds_handoff=False,
+    )
+    got = flash_attention_backward(
+        q, k, v, bias, o, lse, do, scale=scale, is_causal=True,
+        dropout_p=0.1, dropout_seed=3, scores=s,
+    )
+    for name, r, g in zip(("dq", "dk", "dv", "dbias"), ref, got):
+        _assert_rel_close(g, r, name, tol=3e-2)
+
+
+def test_fwd_scores_residual_matches_plain():
+    """return_scores must not perturb (o, lse), and exp(S - lse) must
+    reproduce the probability matrix of the fp32 oracle within bf16
+    rounding."""
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, h, nq, nkv, d = 1, 2, 250, 300, 320
+    q, k, v, _ = _make(b, h, h, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=True)
+    o2, lse2, s = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=True, return_scores=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o, np.float32), np.asarray(o2, np.float32))
+    np.testing.assert_array_equal(np.asarray(lse), np.asarray(lse2))
+    p = np.exp(
+        np.asarray(s[:, :, :nq, :nkv], np.float32)
+        - np.asarray(lse)[:, :, :, None]
+    )
+    s_ref = np.einsum(
+        "bhqd,bhkd->bhqk",
+        np.asarray(q, np.float32),
+        np.asarray(k, np.float32),
+    ) * scale
+    rows = np.arange(nq)[:, None]
+    cols = np.arange(nkv)[None, :]
+    visible = cols <= rows + (nkv - nq)
+    s_ref = np.where(visible, s_ref, -np.inf)
+    p_ref = np.exp(s_ref - np.log(np.exp(s_ref).sum(-1, keepdims=True)))
+    # Above-diagonal S blocks are deliberately never written (clamped out
+    # index map elides masked-tile DMA); compare the visible region only.
+    np.testing.assert_allclose(
+        np.where(visible, p, 0.0), np.where(visible, p_ref, 0.0),
+        atol=2e-2, rtol=0,
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,causal,gqa",
+    [
+        ((1, 2, 2, 256, 256, 320), False, False),
+        ((1, 2, 2, 256, 384, 512), True, False),
+        ((1, 4, 2, 250, 250, 512), False, True),
+    ],
+)
+def test_bwd_float16_contract(shape, causal, gqa):
+    """fp16 gradients within 1e-2 of the fp32 oracle (BASELINE.md;
+    reference tests/test_ffpa_bwd.py:43-46). The dV matmul uses the hi+lo
+    P split (flash_bwd._dv_accumulate) — plain bf16 P rounding leaves a
+    small violation tail at this tolerance."""
+    b, hq, hkv, nq, nkv, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, hq, nq, d), jnp.float16)
+    k = jax.random.normal(ks[1], (b, hkv, nkv, d), jnp.float16)
+    v = jax.random.normal(ks[2], (b, hkv, nkv, d), jnp.float16)
+    do = jax.random.normal(ks[3], (b, hq, nq, d), jnp.float16)
+    scale = 1.0 / np.sqrt(d)
+
+    def ffpa(q_, k_, v_):
+        return ffpa_attn_func(q_, k_, v_, is_causal=causal, enable_gqa=gqa)
+
+    def oracle(q_, k_, v_):
+        return reference_attention(
+            q_, expand_kv_heads(k_, hq), expand_kv_heads(v_, hq), None,
+            is_causal=causal, scale=scale,
+        )
+
+    dq, dk, dv = _grads(ffpa, (q, k, v), do)
+    dq_r, dk_r, dv_r = _grads(oracle, (q, k, v), do)
+    assert dq.dtype == jnp.float16
+    for name, g, r in (("dq", dq, dq_r), ("dk", dk, dk_r), ("dv", dv, dv_r)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            atol=1e-2, rtol=1e-2, err_msg=name,
+        )

@@ -196,3 +196,60 @@ def test_decode_speculative_shapes(nq, causal):
         np.asarray(o, np.float32), np.asarray(r, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+@pytest.mark.parametrize("nq", [1, 4])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("group", [4, 8])
+def test_decode_gqa_packed(nq, causal, group):
+    """PackGQA decode: the whole head group rides one Q row tile, K/V
+    stream once per KV head (ops/decode.py; reference pack_gqa.py:15-26)."""
+    hq, hkv = 2 * group, 2
+    ks = jax.random.split(jax.random.PRNGKey(nq + group), 3)
+    q = jax.random.normal(ks[0], (1, hq, nq, 512), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, hkv, 640, 512), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, hkv, 640, 512), jnp.bfloat16)
+    o = ffpa_attn_func(q, k, v, is_causal=causal, enable_gqa=True)
+    r = reference_attention(
+        q, expand_kv_heads(k, hq), expand_kv_heads(v, hq), None,
+        is_causal=causal, scale=512**-0.5,
+    )
+    _check(o, r, jnp.bfloat16)
+
+
+def test_decode_gqa_packed_bias():
+    """Head-varying bias is packed alongside Q in the decode kernel."""
+    hq, hkv, nkv = 8, 2, 640
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (1, hq, 1, 512), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, hkv, nkv, 512), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, hkv, nkv, 512), jnp.bfloat16)
+    bias = jax.random.normal(ks[3], (1, hq, 1, nkv), jnp.float32)
+    o = ffpa_attn_func(q, k, v, attn_mask=bias, enable_gqa=True)
+    r = reference_attention(
+        q, expand_kv_heads(k, hq), expand_kv_heads(v, hq), bias,
+        scale=512**-0.5,
+    )
+    _check(o, r, jnp.bfloat16)
+
+
+@pytest.mark.parametrize(
+    "shape,causal",
+    [((1, 2, 256, 256, 320), False), ((1, 2, 256, 384, 512), True)],
+)
+def test_fwd_float16_contract(shape, causal):
+    """fp16 parity within 1e-2 vs the fp32-accumulated oracle
+    (BASELINE.md numerics contract; reference tests/test_ffpa_bwd.py:43-46).
+    Computed via bf16 with fp32 accumulation (Mosaic has no f16)."""
+    b, h, nq, nkv, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, nq, d), jnp.float16)
+    k = jax.random.normal(ks[1], (b, h, nkv, d), jnp.float16)
+    v = jax.random.normal(ks[2], (b, h, nkv, d), jnp.float16)
+    o = ffpa_attn_func(q, k, v, is_causal=causal)
+    assert o.dtype == jnp.float16
+    r = reference_attention(q, k, v, None, is_causal=causal, scale=d**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(r, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )

@@ -48,3 +48,27 @@ def test_patch_large_d_and_fallback():
         ffpa_attn_tpu.unpatch_dot_product_attention()
     # unpatched again
     assert jax.nn.dot_product_attention.__name__ == "dot_product_attention"
+
+
+def test_patch_unsupported_kwargs_route_to_original():
+    """Kwargs FFPA does not implement (e.g. local_window_size) must reach
+    the ORIGINAL jax.nn.dot_product_attention — never be silently dropped
+    (interface.py:_dpa_compatible_ffpa)."""
+    q, k, v = _make(1, 256, 2, 320)
+    try:
+        ffpa_attn_tpu.patch_dot_product_attention()
+        out = jax.nn.dot_product_attention(
+            q, k, v, is_causal=True, local_window_size=(16, 0)
+        )
+        # Stock XLA semantics: windowed causal attention — compare against
+        # the unpatched function directly.
+        ffpa_attn_tpu.unpatch_dot_product_attention()
+        ref = jax.nn.dot_product_attention(
+            q, k, v, is_causal=True, local_window_size=(16, 0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=1e-6, rtol=0,
+        )
+    finally:
+        ffpa_attn_tpu.unpatch_dot_product_attention()
