@@ -5,6 +5,7 @@ supplies the TPU-native scaling tier required by BASELINE.json: shard_map
 wrappers whose collectives (ppermute / psum) compile onto ICI.
 """
 
+from .analysis import ring_scaling_projection, two_host_report
 from .mesh import initialize_distributed, make_mesh
 from .ring import ring_attention, ring_attention_sharded
 from .tp import head_parallel_attention
@@ -12,6 +13,8 @@ from .ulysses import ulysses_attention, ulysses_attention_sharded
 from .zigzag import zigzag_ring_attention_sharded
 
 __all__ = [
+    "ring_scaling_projection",
+    "two_host_report",
     "initialize_distributed",
     "make_mesh",
     "ring_attention",

@@ -56,3 +56,24 @@ def test_zigzag_shuffle_roundtrip():
             np.testing.assert_array_equal(
                 zc[:, :, 2 * i + 1], xc[:, :, 2 * s - 1 - i]
             )
+
+
+def test_ring_scaling_projection():
+    """Analytic comms/compute model for the >= 85% 2-host target: full
+    overlap when the per-step hop fits under the step's matmuls; GQA
+    rotates only KV heads (parallel/analysis.py)."""
+    from ffpa_attn_tpu.parallel.analysis import ring_scaling_projection
+
+    # Small S: compute-dominated, ~perfect scaling.
+    p4 = ring_scaling_projection(b=1, h=32, n=16384, d=512, chips=4)
+    assert p4.efficiency > 0.95
+    # MHA at S=8/N=16K is hop-bound; 4:1 GQA restores >= 85%.
+    p8 = ring_scaling_projection(b=1, h=32, n=16384, d=512, chips=8)
+    p8g = ring_scaling_projection(b=1, h=32, hkv=8, n=16384, d=512, chips=8)
+    assert p8.efficiency < p8g.efficiency
+    assert p8g.efficiency > 0.85
+    # Cross-slice (DCN) hops throttle the rotation.
+    pd = ring_scaling_projection(
+        b=1, h=32, n=16384, d=512, chips=8, hops_over_dcn=2
+    )
+    assert pd.efficiency < p8.efficiency
