@@ -188,12 +188,24 @@ def main(argv=None) -> int:
         "--num-workers", type=int, default=1,
         help="parallel worker processes, one per local TPU device",
     )
+    parser.add_argument(
+        "--isolate-tasks", action="store_true",
+        help="one subprocess per task with a hard deadline (a wedged "
+        "remote compile then costs one kill, not the whole sweep); "
+        "entries are merge-written to the store incrementally",
+    )
     parser.add_argument("--output-dir", default=None)
     args = parser.parse_args(argv)
 
     tasks = iter_tasks(args)
     logger.info("autotune: %d tasks, mode=%s", len(tasks), args.mode)
 
+    if args.isolate_tasks:
+        from .engine import run_isolated_autotune
+
+        entries = run_isolated_autotune(tasks, args)
+        logger.info("autotune finished: %d entries", len(entries))
+        return 0
     if args.num_workers > 1:
         from .engine import run_multiprocess_autotune
 

@@ -77,3 +77,61 @@ def _safe_worker_run(args):
         return _worker_run(args)
     except Exception:
         return traceback.format_exc()
+
+
+def _isolated_entry(task, mode, queue):  # pragma: no cover - subprocess
+    try:
+        from .cli import run_task
+
+        queue.put(run_task(task, mode))
+    except Exception:
+        queue.put(traceback.format_exc())
+
+
+def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
+    """One SUBPROCESS per task with a hard deadline.
+
+    The remote-compile tunnel holds one session per process; a wedged
+    Mosaic compile blocks every later claim until its process dies
+    (observed: one pathological compile stalled the whole sweep and the
+    chip with it). Process-per-task turns a hang into a bounded kill, and
+    each finished entry is merge-written to the store immediately so hours
+    of sweep survive a crash."""
+    from .store import write_config_file
+
+    ctx = mp.get_context("spawn")
+    entries: list[dict[str, Any]] = []
+    t_start = time.time()
+    for i, task in enumerate(tasks):
+        budget = 900 if max(task.nq, task.nkv) < 16384 else 2400
+        queue = ctx.Queue()
+        proc = ctx.Process(target=_isolated_entry, args=(task, args.mode, queue))
+        t0 = time.time()
+        proc.start()
+        proc.join(timeout=budget)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+            logger.warning(
+                "[AUTOTUNE][%d/%d] %s d=%d n=(%d,%d) exceeded %ds; killed",
+                i + 1, len(tasks), task.direction, task.d, task.nq,
+                task.nkv, budget,
+            )
+            continue
+        result = queue.get() if not queue.empty() else None
+        if isinstance(result, str):
+            logger.warning("autotune task failed: %s", result[:300])
+            continue
+        if result is not None:
+            entries.append(result)
+            write_config_file(
+                [result], directory=args.output_dir, overwrite=args.overwrite
+            )
+            logger.info(
+                "[AUTOTUNED][%d/%d] %s d=%d n=%d causal=%s -> %s t=%.1fs "
+                "(%.0fs total)",
+                i + 1, len(tasks), task.direction, task.d, task.nkv,
+                task.causal, result["config"], time.time() - t0,
+                time.time() - t_start,
+            )
+    return entries

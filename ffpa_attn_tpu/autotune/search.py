@@ -11,6 +11,8 @@ walk.
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from dataclasses import replace
 from typing import Callable, Iterable, Optional
@@ -134,18 +136,49 @@ def search(
 
     Returns (best_config, best_ms); (None, inf) if everything failed.
     """
+    import signal
+
     from ..cli._bench import time_chained
+
+    deadline = int(os.environ.get("FFPA_TPU_AUTOTUNE_CANDIDATE_TIMEOUT", "420"))
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
 
     best: Optional[BlockConfig] = None
     best_ms = float("inf")
     for cfg in candidates:
+        # Hard per-candidate deadline: a pathological Mosaic compile or a
+        # wedged remote-compile call must not stall the whole sweep (the
+        # resilient walk covers hangs, not just raised errors). SIGALRM is
+        # main-thread only; fall through without it elsewhere.
+        use_alarm = (
+            deadline > 0
+            and threading.current_thread() is threading.main_thread()
+        )
+        if use_alarm:
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(deadline)
         try:
             ms = time_chained(make_step(cfg), q, *rest, iters=iters)
+        except _Timeout:
+            logger.warning(
+                "autotune[%s]: config %s exceeded %ds deadline; skipped",
+                label, cfg, deadline,
+            )
+            continue
         except Exception as exc:  # Mosaic OOM / lowering error: skip
             logger.debug_once(
                 "autotune[%s]: config %s failed: %s", label, cfg, str(exc)[:200]
             )
             continue
+        finally:
+            if use_alarm:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
         logger.debug("autotune[%s]: %s -> %.3f ms", label, cfg, ms)
         if ms < best_ms:
             best, best_ms = cfg, ms
@@ -189,11 +222,17 @@ def autotune_backward(
     itemsize = jnp.dtype(q.dtype).itemsize
 
     # Tune the path the training step will actually run: the S-resident
-    # backward when the residual fits the budget (ops/attention.py policy).
-    scores_bytes = b * hq * (nq + 1024) * (nkv + 1024) * 2
-    use_scores = (
-        q.dtype == jnp.bfloat16
-        and 0 < scores_bytes <= ENV.scores_residual_limit_bytes()
+    # backward when the residual fits the budget (the ACTUAL policy in
+    # ops/attention.py, so tuned entries match production routing).
+    from ..ops.attention import StaticArgs, _should_save_scores
+
+    use_scores = _should_save_scores(
+        StaticArgs(
+            scale=scale, is_causal=is_causal, dropout_p=dropout_p,
+            fwd_config=None, bwd_config=None, backward_is_sdpa=False,
+            grad_kv_storage_dtype=None, grad_q_storage_dtype=None,
+        ),
+        q, k, v, bias,
     )
     cands = bwd_candidates(
         d, dv, nq, nkv, itemsize, bias is not None, mode,

@@ -115,6 +115,22 @@ class ENV:
         )
 
     @staticmethod
+    def hbm_bytes() -> int:
+        """Total device HBM assumed by the dS-handoff headroom gate
+        (v5e: 16 GiB)."""
+        return _env_int("FFPA_TPU_HBM_BYTES", 16 * 1024 * 1024 * 1024)
+
+    @staticmethod
+    def hbm_model_margin_bytes() -> int:
+        """HBM reserved for co-resident model state when gating the
+        dS-handoff slab (attention is rarely the only tenant in a real
+        training step; default leaves 4 GiB for weights/optimizer/XLA
+        workspace)."""
+        return _env_int(
+            "FFPA_TPU_HBM_MODEL_MARGIN_BYTES", 4 * 1024 * 1024 * 1024
+        )
+
+    @staticmethod
     def scores_residual_limit_bytes() -> int:
         """Max HBM bytes for the S-resident training residual.
 

@@ -35,6 +35,13 @@ class ModelConfig:
     mlp_ratio: int = 4
     max_seq_len: int = 8192
     dtype: str = "bfloat16"
+    # S-resident attention backward (ops/attention.py): in a STACKED model
+    # without layer remat, every layer's S residual is live at once —
+    # n_layers * B*H*N^2 bytes — so the layer default is the dS-handoff
+    # (fwd 2 + bwd 5 matmul-units beats remat+S-resident's 8). Set True
+    # for short sequences or when layers run under jax.checkpoint (then
+    # only one layer's S is live at a time).
+    attn_save_scores: bool = False
 
     @property
     def jnp_dtype(self):
@@ -164,8 +171,12 @@ def _attention(layer, x, cfg: ModelConfig, mesh: Optional[Mesh], sp_axis, tp_axi
                 seq_axis=sp_axis, head_axis=head_axis, causal=True,
             )
     else:
+        from ..functional import PallasBackend
+
         o = ffpa_attn_func(
-            q, k, v, is_causal=True, enable_gqa=cfg.n_heads != cfg.n_kv_heads
+            q, k, v, is_causal=True,
+            enable_gqa=cfg.n_heads != cfg.n_kv_heads,
+            backward_backend=PallasBackend(save_scores=cfg.attn_save_scores),
         )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * dh)
     return o @ layer["wo"]

@@ -79,7 +79,7 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
     return o.astype(jnp.float16) if was_f16 else o
 
 
-def _should_save_scores(static: StaticArgs, q, k) -> bool:
+def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
     """S-residency policy: training-path forwards emit the bf16 score
     matrix when it fits the HBM budget, buying a 4-matmul backward
     (flash_bwd.py). Auto mode requires bf16 inputs — for fp16 the extra
@@ -96,15 +96,34 @@ def _should_save_scores(static: StaticArgs, q, k) -> bool:
     limit = ENV.scores_residual_limit_bytes()
     if limit <= 0:
         return False
-    b, hq, nq, _ = q.shape
+    b, hq, nq, d = q.shape
     nkv = k.shape[2]
-    # Worst-case padding: one extra block (<= 1024) per axis.
-    scores_bytes = b * hq * (nq + 1024) * (nkv + 1024) * 2
-    return scores_bytes <= limit
+    # Exact padded footprint: resolve the same config the forward will use.
+    from .config import cdiv
+    from .dispatch import pick_forward_config
+    from .flash_fwd import _fit_fwd_for_scores
+
+    cfg = static.fwd_config
+    if cfg is None:
+        cfg = pick_forward_config(
+            d=d, dv=v.shape[-1], nq=nq, nkv=nkv, dtype=q.dtype,
+            causal=static.is_causal, has_bias=bias is not None,
+        )
+    cfg = cfg.clamp(nq, nkv)
+    cfg = _fit_fwd_for_scores(cfg, d, v.shape[-1], q.dtype, bias is not None)
+    nq_pad = cdiv(nq, cfg.block_q) * cfg.block_q
+    nkv_pad = cdiv(nkv, cfg.block_kv) * cfg.block_kv
+    scores_bytes = b * hq * nq_pad * nkv_pad * 2
+    # Residency check against real HBM: the residual lives alongside this
+    # call's tensors (q/k/v/o/do/grads ~ 8 q-sized arrays + 2 kv-sized)
+    # plus the model-margin (aliased dS means S is the ONLY extra N^2).
+    residents = 2 * (5 * q.size + 4 * k.size)
+    headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
+    return scores_bytes <= min(limit, max(headroom, 0))
 
 
 def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
-    save_scores = _should_save_scores(static, q, k)
+    save_scores = _should_save_scores(static, q, k, v, bias)
     q, k, v, was_f16 = _to_compute_dtype(q, k, v)
     result = flash_attention_forward(
         q,

@@ -784,7 +784,23 @@ def flash_attention_backward(
         b * hq * cdiv(nq, bq_h) * bq_h * cdiv(nkv, bkv_h0) * bkv_h0 * itemsize
     )
     if ds_handoff is None:
-        ds_handoff = limit > 0 and ds_bytes <= 8 * limit
+        # Auto gate: the largest live slab (one stripe, <= limit) must also
+        # fit the call's actual HBM headroom — total HBM minus this call's
+        # resident tensors (q/k/v/o/do + the three grads; attention is not
+        # the only tenant, so a further model-residency margin applies).
+        # Striping bounds slab size, so the binding constraint is headroom,
+        # not total dS (the old `8 * limit` fudge).
+        residents = itemsize * (
+            2 * q.size + 2 * k.size + 2 * v.size + 2 * do.size
+        ) + (0 if bias is None else bias.size * 4)
+        headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
+        slab_limit = min(limit, max(headroom, 0))
+        ds_handoff = slab_limit > 0 and (
+            ds_bytes <= slab_limit
+            # striped: per-slab bound; worth it while stripes stay coarse
+            or cdiv(ds_bytes, max(slab_limit, 1)) <= 8
+        )
+        limit = slab_limit if slab_limit > 0 else limit
     ds_handoff = ds_handoff and run_dkdv and run_dq
     if ds_handoff:
         config = _fit_dkdv_for_ds(config, d, dv_dim, q.dtype, bias is not None)
