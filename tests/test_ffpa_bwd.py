@@ -165,8 +165,12 @@ def test_bwd_grad_storage_dtype():
 @pytest.mark.parametrize("group", [1, 2])
 def test_bwd_ds_handoff_matches_recompute(causal, group):
     """The dS-handoff scheme (dQ = XLA matmul over the handed-off score
-    gradient) must match the recompute dQ kernel bit-for-bit on dq/dk/dv
-    (both round dS to bf16 before the MXU matmul)."""
+    gradient) matches the recompute dQ kernel to within final-rounding
+    ulps: both round dS to bf16 before the MXU matmul, so dk/dv are
+    bit-identical, while dq's fp32 accumulation ORDER differs (one XLA
+    contraction vs block_kv-wide kernel steps) — a 1-2 bf16-ulp wobble,
+    not a numerics change."""
+    from ffpa_attn_tpu.ops.config import BlockConfig
     from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
     from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
 
@@ -174,19 +178,21 @@ def test_bwd_ds_handoff_matches_recompute(causal, group):
     b, hq, nq, nkv, d = 1, 2 * group, 256, 384, 320
     q, k, v, do = _make(b, hq, hq // group, nq, nkv, d, dtype)
     scale = 1.0 / np.sqrt(d)
+    cfg = BlockConfig()
     o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=causal)
     ref = flash_attention_backward(
         q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
-        ds_handoff=False,
+        ds_handoff=False, config=cfg,
     )
     got = flash_attention_backward(
         q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
-        ds_handoff=True,
+        ds_handoff=True, config=cfg,
     )
     for name, r, g in zip(("dq", "dk", "dv"), ref, got):
+        tol = dict(rtol=2**-7, atol=1e-4) if name == "dq" else dict(rtol=0, atol=0)
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(r, np.float32),
-            rtol=0, atol=0, err_msg=name,
+            err_msg=name, **tol,
         )
 
 
