@@ -196,17 +196,32 @@ def autotune_forward(
     cands = fwd_candidates(d, dv, nq, nkv, itemsize, bias is not None, mode)
 
     def make_step(cfg):
-        def step(q_, k_, v_):
-            o, _ = flash_attention_forward(
-                q_, k_, v_, bias, scale=scale, is_causal=is_causal,
-                dropout_p=dropout_p, config=cfg,
-            )
-            return o
+        # Bias rides as a traced arg: a closed-over [B,H,Nq,Nkv] array
+        # would be serialized into the program as a literal and overflow /
+        # wedge the remote-compile transport (537 MB at N=4096 H=8 — the
+        # observed sweep hang).
+        if bias is None:
+
+            def step(q_, k_, v_):
+                o, _ = flash_attention_forward(
+                    q_, k_, v_, None, scale=scale, is_causal=is_causal,
+                    dropout_p=dropout_p, config=cfg,
+                )
+                return o
+        else:
+
+            def step(q_, k_, v_, bias_):
+                o, _ = flash_attention_forward(
+                    q_, k_, v_, bias_, scale=scale, is_causal=is_causal,
+                    dropout_p=dropout_p, config=cfg,
+                )
+                return o
 
         return step
 
+    rest = (k, v) if bias is None else (k, v, bias)
     return search(
-        make_step, q, (k, v), cands, label=f"fwd d={d} n=({nq},{nkv})"
+        make_step, q, rest, cands, label=f"fwd d={d} n=({nq},{nkv})"
     )
 
 
@@ -254,11 +269,15 @@ def autotune_backward(
     def make_step(cfg):
         def step(q_, k_, v_, o_, lse_, do_, *rest):
             # Chain on dq; fold dk/dv into the scalar extra so XLA cannot
-            # dead-code-eliminate the dK/dV kernel.
+            # dead-code-eliminate the dK/dV kernel. bias/scores arrive as
+            # traced args (closure constants would wedge remote compile).
+            rest_list = list(rest)
+            bias_ = rest_list.pop(0) if bias is not None else None
+            scores_ = rest_list.pop(0) if rest_list else None
             dq, dk, dvv, _ = flash_attention_backward(
-                q_, k_, v_, bias, o_, lse_, do_, scale=scale,
+                q_, k_, v_, bias_, o_, lse_, do_, scale=scale,
                 is_causal=is_causal, dropout_p=dropout_p, config=cfg,
-                scores=rest[0] if rest else None,
+                scores=scores_,
             )
             extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
                 dvv.astype(jnp.float32)
@@ -267,7 +286,11 @@ def autotune_backward(
 
         return step
 
-    rest = (k, v, o, lse, do) + ((scores,) if use_scores else ())
+    rest = (
+        (k, v, o, lse, do)
+        + (() if bias is None else (bias,))
+        + ((scores,) if use_scores else ())
+    )
     return search(
         make_step,
         q,
