@@ -172,7 +172,7 @@ def main(argv=None) -> int:
     parser.add_argument("--mode", choices=["fast", "max"], default="fast")
     parser.add_argument(
         "--directions", nargs="*", default=["fwd", "bwd"],
-        choices=["fwd", "bwd", "decode"],
+        choices=["fwd", "bwd", "decode", "varlen"],
     )
     parser.add_argument(
         "--dtypes", nargs="*", default=["bfloat16"],

@@ -287,20 +287,26 @@ def write_config_file(
     dir_.mkdir(parents=True, exist_ok=True)
     path = _config_path(dir_, kind)
     with LockedStore(path) as store:
-        if not overwrite:
-            existing = store.read_text()
-            if existing is not None:
-                try:
-                    payload = json.loads(existing)
-                    if (
-                        isinstance(payload, dict)
-                        and payload.get("schema_version") == SCHEMA_VERSION
-                    ):
-                        entries = merge_entries(
-                            payload.get("entries", []), entries
-                        )
-                except json.JSONDecodeError:
-                    pass
+        # ALWAYS read-merge: ``overwrite`` only decides who wins duplicate
+        # keys (True: the new entries; False: the existing file). A
+        # whole-file replace would destroy every previously tuned entry on
+        # each incremental write — exactly what a sweep must never do.
+        existing = store.read_text()
+        if existing is not None:
+            try:
+                payload = json.loads(existing)
+                if (
+                    isinstance(payload, dict)
+                    and payload.get("schema_version") == SCHEMA_VERSION
+                ):
+                    old = payload.get("entries", [])
+                    entries = (
+                        merge_entries(old, entries)
+                        if overwrite
+                        else merge_entries(entries, old)
+                    )
+            except json.JSONDecodeError:
+                pass
         payload = build_payload(entries, kind)
         store.write_text_atomic(json.dumps(payload, indent=1, sort_keys=True))
     clear_lookup_cache()
