@@ -366,13 +366,15 @@ def _verify_case(case: BenchCase, dtype, direction: str, backend) -> None:
         )
     if direction == "bwd":
         def dq_of(fwd_fn):
-            def loss(q_):
+            # k/v/mask/do ride as traced args — closure constants would be
+            # serialized into the program (HTTP 413 on remote compile).
+            def loss(q_, k_, v_, m_, do_):
                 return (
-                    fwd_fn(q_, k, v, mask).astype(jnp.float32)
-                    * do.astype(jnp.float32)
+                    fwd_fn(q_, k_, v_, m_).astype(jnp.float32)
+                    * do_.astype(jnp.float32)
                 ).sum()
 
-            return jax.jit(jax.grad(loss))(q)
+            return jax.jit(jax.grad(loss))(q, k, v, mask, do)
 
         r = rel(dq_of(ffpa), dq_of(oracle))
         if r >= tol:
