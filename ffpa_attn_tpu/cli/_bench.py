@@ -330,7 +330,12 @@ def _verify_case(case: BenchCase, dtype, direction: str, backend) -> None:
         b = np.asarray(jax.device_get(b), np.float32)
         return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
 
-    if case.dropout_p > 0.0:
+    if case.dropout_p > 0.0 or case.mask:
+        # Capped-shape verification vs the fp32 oracle: dropout has no
+        # stock-XLA counterpart, and the mask case's full-shape verify
+        # would hold a second [B,Hq,Nq,Nkv] fp32 bias (8.6 GB at the
+        # headline shape) alongside the bench tensors — OOM. The capped
+        # case exercises the same kernel features.
         from ..ops.reference import reference_attention
 
         vcase = BenchCase(
@@ -344,12 +349,9 @@ def _verify_case(case: BenchCase, dtype, direction: str, backend) -> None:
             q, k, v, mask, is_causal=vcase.causal,
             scale=vcase.d**-0.5, dropout_p=vcase.dropout_p,
         )
-        # Dropout outputs are sparse/rescaled; compare means + masked
-        # agreement rather than elementwise (RNG parity is locked by
-        # tests/test_ffpa_bwd.py:test_bwd_dropout_replay).
         if rel(got, want) >= tol:
             raise RuntimeError(
-                f"bench verify FAILED for {vcase.name} (dropout): "
+                f"bench verify FAILED for {vcase.name}: "
                 f"rel={rel(got, want):.3f} >= {tol}"
             )
         return
