@@ -168,9 +168,15 @@ def _batched_decode_step(params, cache, positions, token, cfg: ModelConfig):
         v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
         q = _rope_at(q, positions)
         k = _rope_at(k, positions)
-        bb = jnp.arange(b)
-        k_cache = cache[li]["k"].at[bb, :, positions].set(k[:, :, 0])
-        v_cache = cache[li]["v"].at[bb, :, positions].set(v[:, :, 0])
+        # Per-sequence cache write as a vmapped dynamic_update_slice — a
+        # batched advanced-index scatter lowers to gather/scatter HLO and
+        # dominated the ragged decode step (~20x slower than the
+        # single-position decode loop).
+        upd = jax.vmap(
+            lambda c, x, p: jax.lax.dynamic_update_slice(c, x, (0, p, 0))
+        )
+        k_cache = upd(cache[li]["k"], k, positions)
+        v_cache = upd(cache[li]["v"], v, positions)
         cache[li] = {"k": k_cache, "v": v_cache}
         from ..interface import ffpa_attn_func
 
