@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import queue as pyqueue
 import tempfile
 import time
 import traceback
@@ -118,7 +119,13 @@ def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
                 task.nkv, budget,
             )
             continue
-        result = queue.get() if not queue.empty() else None
+        # Queue.empty() is documented-unreliable (can transiently report
+        # True right after the child exits, dropping a finished entry);
+        # block briefly on get() instead.
+        try:
+            result = queue.get(timeout=5)
+        except pyqueue.Empty:
+            result = None
         if isinstance(result, str):
             logger.warning("autotune task failed: %s", result[:300])
             continue

@@ -28,6 +28,7 @@ CASES = (
     "self-attn",
     "cross-attn",
     "decode",
+    "decode-gqa",
     "gqa",
     "causal",
     "attn-mask",
@@ -57,6 +58,12 @@ def make_case(name: str, b: int, h: int, n: int, d: int) -> BenchCase:
         return BenchCase(name, b, h, h, max(n // 8, 128), n, d)
     if name == "decode":
         return BenchCase(name, b, h, h, 1, n, d)
+    if name == "decode-gqa":
+        # Grouped-KV decode (Hq 32 / Hkv 8 at defaults): the PackGQA single
+        # -pass kernel reads each KV head once for the whole Q group; the
+        # stock-XLA baseline must expand KV to Hq heads (reference
+        # publishes decode GQA speedups, bench/README.md:53).
+        return BenchCase(name, b, h, max(h // 4, 1), 1, n, d)
     if name == "gqa":
         return BenchCase(name, b, h, max(h // 4, 1), n, n, d)
     if name == "causal":
@@ -147,27 +154,46 @@ def time_chained(step_fn, q, *rest, iters: int = 10, warmup: bool = True) -> flo
 
         return chained
 
-    def run_ms(fn) -> float:
+    def make_runner(length):
+        fn = make(length)
         out = fn(q, eps, *rest)  # compile + warmup
         _sync(out)
-        best = float("inf")
-        for _ in range(2):
+
+        def once() -> float:
             t0 = time.perf_counter()
-            out = fn(q, eps, *rest)
-            _sync(out)
-            best = min(best, (time.perf_counter() - t0) * 1e3)
-        return best
+            o = fn(q, eps, *rest)
+            _sync(o)
+            return (time.perf_counter() - t0) * 1e3
+
+        return once
 
     def diff_ms(n: int) -> float:
-        t_short = run_ms(make(n))
-        t_long = run_ms(make(3 * n))
-        return max(t_long - t_short, 2e-3 * n) / (2 * n)
+        short, long_ = make_runner(n), make_runner(3 * n)
+        ts = min(short(), short())
+        tl = min(long_(), long_())
+        return max(tl - ts, 2e-3 * n) / (2 * n)
+
+    def diff_median(n: int, reps: int) -> float:
+        """Median-of-``reps`` paired two-length diffs. Sub-10 ms kernels sit
+        close to the tunnel's per-invocation noise floor, and a single
+        (t_3N - t_N) pair has shown 1.01x-1.19x run-to-run spread at ~7 ms
+        (docs/bench_v5e_d512_n8192.md footnote); interleaved pairs share
+        drift and the median discards outlier invocations."""
+        short, long_ = make_runner(n), make_runner(3 * n)
+        diffs = sorted(
+            max(long_() - short(), 2e-3 * n) / (2 * n) for _ in range(reps)
+        )
+        return diffs[len(diffs) // 2]
 
     est = diff_ms(iters)
     # If the measured span (2*iters*est) is small vs invocation noise
     # (~few ms), redo at a length where real work dominates.
+    n = iters
     if 2 * iters * est < 100.0:
         n = min(max(int(100.0 / max(est, 0.05)), iters), 2048)
+    if est < 10.0:
+        return diff_median(n, 5)
+    if n != iters:
         return diff_ms(n)
     return est
 
@@ -578,8 +604,6 @@ def main(argv=None) -> int:
             for name in args.cases:
                 case = make_case(name, args.B, args.H, args.N, d)
                 for direction in args.directions:
-                    if direction == "bwd" and case.nq == 1:
-                        continue
                     row = run_case(
                         case,
                         dtype,

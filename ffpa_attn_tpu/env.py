@@ -152,6 +152,21 @@ class ENV:
         )
 
     @staticmethod
+    def scores_auto_assumed_layers() -> int:
+        """Layer multiplier for the AUTO S-residency headroom gate.
+
+        ``_should_save_scores`` sees ONE attention call, but in a stacked
+        model without per-layer remat every layer's S residual is live from
+        forward to backward simultaneously. Auto mode therefore requires
+        headroom for this many copies of the residual before opting in
+        (default 2). Models using layer-level ``jax.checkpoint`` (only one
+        layer's S live at a time) or single-layer benchmarks may set 1;
+        deep no-remat stacks should set their layer count, or pass
+        ``save_scores=False`` explicitly.
+        """
+        return _env_int("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", 2)
+
+    @staticmethod
     def snapshot() -> EnvSnapshot:
         return EnvSnapshot(
             allow_small_d=ENV.allow_small_d(),

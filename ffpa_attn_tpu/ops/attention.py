@@ -88,6 +88,18 @@ def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
     if static.backward_is_sdpa:
         return False
     if static.save_scores is not None:
+        if static.save_scores and q.dtype == jnp.float16:
+            # The from-S kernel stores S in bf16 and has no do_lo input, so
+            # forcing S-residency for fp16 primals would silently drop the
+            # hi+lo precision machinery the 1e-2 contract relies on.
+            from ..logger import init_logger
+
+            init_logger(__name__).warning_once(
+                "save_scores=True ignored for float16 inputs: the bf16 S "
+                "residual would erode the fp16 1e-2 gradient contract; "
+                "using the dS-handoff backward instead."
+            )
+            return False
         return static.save_scores
     if q.dtype != jnp.bfloat16:
         return False
@@ -117,9 +129,15 @@ def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
     # Residency check against real HBM: the residual lives alongside this
     # call's tensors (q/k/v/o/do/grads ~ 8 q-sized arrays + 2 kv-sized)
     # plus the model-margin (aliased dS means S is the ONLY extra N^2).
+    # AUTO mode assumes ENV.scores_auto_assumed_layers identical attention
+    # calls keep their residual live simultaneously (a stacked model
+    # without per-layer remat): one call's gate cannot see whole-program
+    # residency, so it budgets for several of itself. Explicit
+    # save_scores=True (or layer-level jax.checkpoint) bypasses this.
+    layers = max(1, ENV.scores_auto_assumed_layers())
     residents = 2 * (5 * q.size + 4 * k.size)
     headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
-    return scores_bytes <= min(limit, max(headroom, 0))
+    return scores_bytes <= limit and scores_bytes * layers <= max(headroom, 0)
 
 
 def _core_fwd(static: StaticArgs, q, k, v, bias, seed):

@@ -80,6 +80,33 @@ def test_bwd_vs_oracle(shape, causal):
     _assert_close(dv, dv_r, dtype, "dv")
 
 
+@pytest.mark.parametrize("group", [1, 4])
+def test_bwd_decode_nq1(group):
+    """Nq=1 grads: the decode fast path's custom_vjp delegates to the dense
+    backward kernels (ops/decode.py:_decode_core_bwd); the bench now times
+    this (reference publishes decode bwd speedups, bench/README.md:53)."""
+    dtype = jnp.bfloat16
+    b, hq, nkv, d = 1, 4, 512, 512
+    hkv = hq // group
+    q, k, v, do = _make(b, hq, hkv, 1, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+
+    def ffpa(q_, k_, v_):
+        return ffpa_attn_func(q_, k_, v_, enable_gqa=group != 1)
+
+    def oracle(q_, k_, v_):
+        return reference_attention(
+            q_, expand_kv_heads(k_, hq), expand_kv_heads(v_, hq), None,
+            scale=scale,
+        )
+
+    dq, dk, dv = _grads(ffpa, (q, k, v), do)
+    dq_r, dk_r, dv_r = _grads(oracle, (q, k, v), do)
+    _assert_close(dq, dq_r, dtype, "dq")
+    _assert_close(dk, dk_r, dtype, "dk")
+    _assert_close(dv, dv_r, dtype, "dv")
+
+
 @pytest.mark.parametrize("mask_shape", ["full", "key_only"])
 def test_bwd_bias_grad(mask_shape):
     dtype = jnp.bfloat16
@@ -321,6 +348,52 @@ def test_bwd_save_scores_dropout_bias():
     )
     for name, r, g in zip(("dq", "dk", "dv", "dbias"), ref, got):
         _assert_rel_close(g, r, name, tol=3e-2)
+
+
+def test_save_scores_auto_gate(monkeypatch):
+    """AUTO S-residency budgets headroom for ENV.scores_auto_assumed_layers
+    simultaneous residuals (a stacked no-remat model), and explicit
+    save_scores=True with float16 primals is ignored with a warning (the
+    bf16 S residual would erode the fp16 1e-2 contract)."""
+    from ffpa_attn_tpu.ops.attention import StaticArgs, _should_save_scores
+
+    def make_static(**kw):
+        base = dict(
+            scale=0.1, is_causal=False, dropout_p=0.0, fwd_config=None,
+            bwd_config=None, backward_is_sdpa=False,
+            grad_kv_storage_dtype=None, grad_q_storage_dtype=None,
+        )
+        base.update(kw)
+        return StaticArgs(**base)
+
+    b, h, n, d = 1, 4, 2048, 512
+    q = jnp.zeros((b, h, n, d), jnp.bfloat16)
+    k = v = q
+    st = make_static()
+    # Scores = 4*2048^2*2 = 32 MiB; fits any sane budget -> auto on.
+    monkeypatch.setenv("FFPA_TPU_HBM_BYTES", str(16 * 1024**3))
+    assert _should_save_scores(st, q, k, v, None)
+    # Shrink HBM so ONE residual fits the naive check but `assumed_layers`
+    # copies do not: auto must decline.
+    residents = 2 * (5 * q.size + 4 * k.size)
+    margin = 4 * 1024**3
+    scores = b * h * n * n * 2
+    monkeypatch.setenv(
+        "FFPA_TPU_HBM_BYTES", str(residents + margin + scores + scores // 2)
+    )
+    monkeypatch.setenv("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "2")
+    assert not _should_save_scores(st, q, k, v, None)
+    monkeypatch.setenv("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1")
+    assert _should_save_scores(st, q, k, v, None)
+    monkeypatch.delenv("FFPA_TPU_HBM_BYTES")
+    monkeypatch.delenv("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS")
+    # Explicit opt-in still honored for bf16 ...
+    assert _should_save_scores(make_static(save_scores=True), q, k, v, None)
+    # ... but ignored (False) for fp16 primals.
+    qf = jnp.zeros((b, h, n, d), jnp.float16)
+    assert not _should_save_scores(
+        make_static(save_scores=True), qf, qf, qf, None
+    )
 
 
 def test_fwd_scores_residual_matches_plain():

@@ -47,14 +47,16 @@ def _check(out, ref, dtype):
 
 @pytest.mark.parametrize("shape", CORRECTNESS_SHAPES)
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("dtype", [jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
 def test_fwd_kernel_vs_reference(shape, causal, dtype):
+    """bf16 exercises the kernel directly (incl. the LSE contract); fp16
+    goes through the public entry — the production path casts f16 -> bf16
+    compute -> f16 out inside the custom_vjp (ops/attention.py
+    _to_compute_dtype) and must still hold the reference's fp16 1e-2
+    forward tolerance (reference tests/test_ffpa_fwd.py:46-49)."""
     b, hq, hkv, nq, nkv, d = shape
     q, k, v = _make_qkv(b, hq, hkv, nq, nkv, d, dtype)
     scale = 1.0 / np.sqrt(d)
-    o, lse = flash_attention_forward(
-        q, k, v, None, scale=scale, is_causal=causal
-    )
     ref, ref_lse = reference_attention(
         q,
         expand_kv_heads(k, hq),
@@ -63,6 +65,14 @@ def test_fwd_kernel_vs_reference(shape, causal, dtype):
         is_causal=causal,
         scale=scale,
         return_lse=True,
+    )
+    if dtype == jnp.float16:
+        o = ffpa_attn_func(q, k, v, is_causal=causal, enable_gqa=hq != hkv)
+        assert o.dtype == jnp.float16
+        _check(o, ref, dtype)
+        return
+    o, lse = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=causal
     )
     _check(o, ref, dtype)
     np.testing.assert_allclose(

@@ -117,7 +117,12 @@ def test_continuous_batching_prefill_matches_single():
 
     lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    step_logits, cache = _batched_decode_step(params, cache, lens, tok, cfg)
+    # Shared-row layout: step 0 of every sequence writes cache row
+    # ``base + 0`` (base = longest prompt); logits must still match the
+    # per-sequence dense decode (raggedness lives in the mask).
+    step_logits, cache = _batched_decode_step(
+        params, cache, lens, jnp.int32(0), tok, cfg, base=130
+    )
 
     for i, p in enumerate(prompts):
         c1 = init_kv_cache(cfg, 1, 256)

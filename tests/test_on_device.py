@@ -137,10 +137,12 @@ def test_on_device_varlen(tpu):
     out = ffpa_attn_varlen_func(q, k, v, cu, cu, 512, 512, causal=True)
     for s in range(3):
         lo, hi = int(cu[s]), int(cu[s + 1])
+        # THD layout: slice the TOKEN axis (dim 1 after [None]), then move
+        # heads ahead of tokens to the reference's [B, H, N, D] layout.
         ref = reference_attention(
-            q[None, :, lo:hi].transpose(0, 2, 1, 3),
-            k[None, :, lo:hi].transpose(0, 2, 1, 3),
-            v[None, :, lo:hi].transpose(0, 2, 1, 3),
+            q[None, lo:hi].transpose(0, 2, 1, 3),
+            k[None, lo:hi].transpose(0, 2, 1, 3),
+            v[None, lo:hi].transpose(0, 2, 1, 3),
             None, is_causal=True, scale=d**-0.5,
         )
         got = out[None, lo:hi].transpose(0, 2, 1, 3)
