@@ -135,6 +135,20 @@ def _ring_bwd_impl(q, k, v, o, lse, do, *, axis_name: str, axis_size: int,
 
     k_blk, v_blk = k, v
     for s in range(axis_size):
+        # Prefetch-rotate k/v BEFORE this step's kernels (same as the
+        # forward): the next step's kernels depend on the rotated blocks,
+        # so issuing the ppermute first lets XLA overlap the ICI hop with
+        # this step's compute — in the pass that carries 2.5x the
+        # forward's FLOPs (round-2 weak #8: the old rotate-after-kernels
+        # order serialized every backward hop). The dk/dv ACCUMULATOR
+        # rotation cannot be hoisted (it must include this step's
+        # contribution) but is not on the critical path either: its only
+        # consumer is the `+=` AFTER the next step's kernels, so that
+        # ppermute also rides under compute.
+        if s + 1 < axis_size:
+            k_nxt = _rotate(k_blk, axis_name, axis_size)
+            v_nxt = _rotate(v_blk, axis_name, axis_size)
+
         if causal and s == 0:
             dq_s, dk_s, dv_s, _ = flash_attention_backward(
                 q, k_blk, v_blk, None, o, lse, do,
@@ -178,8 +192,7 @@ def _ring_bwd_impl(q, k, v, o, lse, do, *, axis_name: str, axis_size: int,
             # KV blocks and their gradient accumulators rotate together so
             # each accumulator returns home after S-1 further rotations at
             # the loop end.
-            k_blk = _rotate(k_blk, axis_name, axis_size)
-            v_blk = _rotate(v_blk, axis_name, axis_size)
+            k_blk, v_blk = k_nxt, v_nxt
             dk_acc = _rotate(dk_acc, axis_name, axis_size)
             dv_acc = _rotate(dv_acc, axis_name, axis_size)
 
