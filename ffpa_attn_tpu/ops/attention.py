@@ -79,14 +79,25 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
     return o.astype(jnp.float16) if was_f16 else o
 
 
-def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
-    """S-residency policy: training-path forwards emit the bf16 score
-    matrix when it fits the HBM budget, buying a 4-matmul backward
-    (flash_bwd.py). Auto mode requires bf16 inputs — for fp16 the extra
-    bf16 rounding of S would erode the 1e-2 parity contract — and a padded
-    scores footprint within ENV.scores_residual_limit_bytes."""
+def _resident_head_count(static: StaticArgs, q, k, v, bias) -> int:
+    """S-residency policy, head-granular. Returns m in {0, group, .., Hq}:
+    the forward emits the bf16 score residual for the FIRST m query heads
+    (a whole number of GQA groups), buying the 4-matmul from-S backward
+    for those heads; the remaining heads run the striped dS-handoff
+    recompute backward. m == Hq is classic full S-residency; at long
+    sequence (e.g. N=16K, where the full residual is 17 GiB against 16 GiB
+    of HBM) a partial m keeps as much of the recompute saving as the HBM
+    budget allows — per-head slices need NO kernel changes because the
+    head axis is a pure grid dimension in every kernel.
+
+    Auto mode requires bf16 inputs — for fp16 the extra bf16 rounding of S
+    would erode the 1e-2 parity contract — and PARTIAL residency requires
+    dropout_p == 0 (the rest-launch's dropout hash would see shifted head
+    ids; full residency replays dropout fine)."""
+    hq = q.shape[1]
+    group = hq // k.shape[1]
     if static.backward_is_sdpa:
-        return False
+        return 0
     if static.save_scores is not None:
         if static.save_scores and q.dtype == jnp.float16:
             # The from-S kernel stores S in bf16 and has no do_lo input, so
@@ -99,15 +110,15 @@ def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
                 "residual would erode the fp16 1e-2 gradient contract; "
                 "using the dS-handoff backward instead."
             )
-            return False
-        return static.save_scores
+            return 0
+        return hq if static.save_scores else 0
     if q.dtype != jnp.bfloat16:
-        return False
+        return 0
     from ..env import ENV
 
     limit = ENV.scores_residual_limit_bytes()
     if limit <= 0:
-        return False
+        return 0
     b, hq, nq, d = q.shape
     nkv = k.shape[2]
     # Exact padded footprint: resolve the same config the forward will use.
@@ -125,7 +136,7 @@ def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
     cfg = _fit_fwd_for_scores(cfg, d, v.shape[-1], q.dtype, bias is not None)
     nq_pad = cdiv(nq, cfg.block_q) * cfg.block_q
     nkv_pad = cdiv(nkv, cfg.block_kv) * cfg.block_kv
-    scores_bytes = b * hq * nq_pad * nkv_pad * 2
+    per_head_bytes = b * nq_pad * nkv_pad * 2
     # Residency check against real HBM: the residual lives alongside this
     # call's tensors (q/k/v/o/do/grads ~ 8 q-sized arrays + 2 kv-sized)
     # plus the model-margin (aliased dS means S is the ONLY extra N^2).
@@ -137,28 +148,57 @@ def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
     layers = max(1, ENV.scores_auto_assumed_layers())
     residents = 2 * (5 * q.size + 4 * k.size)
     headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
-    return scores_bytes <= limit and scores_bytes * layers <= max(headroom, 0)
+    budget = min(limit, max(headroom, 0) // layers)
+    m = min(hq, int(budget // per_head_bytes))
+    m = (m // group) * group  # whole GQA groups only
+    if m < hq and static.dropout_p > 0.0:
+        return 0
+    return m
+
+
+def _should_save_scores(static: StaticArgs, q, k, v, bias) -> bool:
+    """True iff FULL S-residency applies (autotune tunes this path)."""
+    return _resident_head_count(static, q, k, v, bias) == q.shape[1]
+
+
+def _slice_bias_heads(bias, lo, hi):
+    if bias is None or bias.shape[1] == 1:
+        return bias
+    return bias[:, lo:hi]
 
 
 def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
-    save_scores = _should_save_scores(static, q, k, v, bias)
+    m = _resident_head_count(static, q, k, v, bias)
+    hq = q.shape[1]
+    group = hq // k.shape[1]
     q, k, v, was_f16 = _to_compute_dtype(q, k, v)
-    result = flash_attention_forward(
-        q,
-        k,
-        v,
-        bias,
+    fwd = functools.partial(
+        flash_attention_forward,
         scale=static.scale,
         is_causal=static.is_causal,
         dropout_p=static.dropout_p,
         dropout_seed=seed,
         config=static.fwd_config,
-        return_scores=save_scores,
     )
-    if save_scores:
-        o, lse, scores = result
+    if 0 < m < hq:
+        # Partial head residency: heads [0, m) emit S, the rest don't. Two
+        # launches over disjoint head ranges cost no extra traffic (K/V
+        # stream per-head anyway) and no kernel changes (head axis is a
+        # pure grid dim).
+        mk = m // group
+        o1, lse1, scores = fwd(
+            q[:, :m], k[:, :mk], v[:, :mk],
+            _slice_bias_heads(bias, 0, m), return_scores=True,
+        )
+        o2, lse2 = fwd(
+            q[:, m:], k[:, mk:], v[:, mk:], _slice_bias_heads(bias, m, hq)
+        )
+        o = jnp.concatenate([o1, o2], axis=1)
+        lse = jnp.concatenate([lse1, lse2], axis=1)
+    elif m == hq:
+        o, lse, scores = fwd(q, k, v, bias, return_scores=True)
     else:
-        (o, lse), scores = result, None
+        (o, lse), scores = fwd(q, k, v, bias), None
     out = o.astype(jnp.float16) if was_f16 else o
     return out, (q, k, v, bias, o, lse, seed, scores)
 
@@ -192,14 +232,8 @@ def _core_bwd(static: StaticArgs, residuals, do):
         dk = dk.astype(k.dtype)
         dv = dv.astype(v.dtype)
     else:
-        dq, dk, dv, dbias = flash_attention_backward(
-            q,
-            k,
-            v,
-            bias,
-            o,
-            lse,
-            do,
+        bwd = functools.partial(
+            flash_attention_backward,
             scale=static.scale,
             is_causal=static.is_causal,
             dropout_p=static.dropout_p,
@@ -208,9 +242,38 @@ def _core_bwd(static: StaticArgs, residuals, do):
             grad_kv_storage_dtype=static.grad_kv_storage_dtype,
             grad_q_storage_dtype=static.grad_q_storage_dtype,
             ds_handoff=static.ds_handoff,
-            scores=scores,
             precise_pv=static.precise_pv,
         )
+        hq = q.shape[1]
+        if scores is not None and scores.shape[1] < hq:
+            # Partial head residency (see _resident_head_count): from-S
+            # 4-matmul backward for heads [0, m), striped dS-handoff
+            # recompute for the rest.
+            m = scores.shape[1]
+            mk = m * k.shape[1] // hq
+            dq1, dk1, dv1, db1 = bwd(
+                q[:, :m], k[:, :mk], v[:, :mk],
+                _slice_bias_heads(bias, 0, m),
+                o[:, :m], lse[:, :m], do[:, :m], scores=scores,
+            )
+            dq2, dk2, dv2, db2 = bwd(
+                q[:, m:], k[:, mk:], v[:, mk:],
+                _slice_bias_heads(bias, m, hq),
+                o[:, m:], lse[:, m:], do[:, m:], scores=None,
+            )
+            dq = jnp.concatenate([dq1, dq2], axis=1)
+            dk = jnp.concatenate([dk1, dk2], axis=1)
+            dv = jnp.concatenate([dv1, dv2], axis=1)
+            dbias = None
+            if bias is not None:
+                if bias.shape[1] == 1:
+                    dbias = (
+                        db1.astype(jnp.float32) + db2.astype(jnp.float32)
+                    ).astype(bias.dtype)
+                else:
+                    dbias = jnp.concatenate([db1, db2], axis=1)
+        else:
+            dq, dk, dv, dbias = bwd(q, k, v, bias, o, lse, do, scores=scores)
     if was_f16:
         # Cotangents return in the primal's f16 unless an explicit grad
         # storage dtype was requested.

@@ -396,6 +396,91 @@ def test_save_scores_auto_gate(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_partial_head_residency(monkeypatch, causal):
+    """When only part of the S residual fits the HBM budget, auto mode
+    saves S for whole head GROUPS and runs the hybrid backward (from-S for
+    resident heads + recompute for the rest) — grads must match the
+    oracle, and the head count must follow the budget."""
+    from ffpa_attn_tpu.ops.attention import StaticArgs, _resident_head_count
+
+    dtype = jnp.bfloat16
+    b, hq, hkv, nq, nkv, d = 1, 4, 2, 256, 384, 320
+    q, k, v, do = _make(b, hq, hkv, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+
+    # Budget for exactly 2 of 4 query heads (per_head = b*nq_pad*nkv_pad*2;
+    # blocks clamp to 256/384 here so pads equal the true sizes).
+    per_head = b * nq * nkv * 2
+    residents = 2 * (5 * q.size + 4 * k.size)
+    margin = 4 * 1024**3
+    monkeypatch.setenv("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1")
+    monkeypatch.setenv(
+        "FFPA_TPU_HBM_BYTES", str(residents + margin + 5 * per_head // 2)
+    )
+    st = StaticArgs(
+        scale=scale, is_causal=causal, dropout_p=0.0, fwd_config=None,
+        bwd_config=None, backward_is_sdpa=False,
+        grad_kv_storage_dtype=None, grad_q_storage_dtype=None,
+    )
+    assert _resident_head_count(st, q, k, v, None) == 2
+
+    def ffpa(q_, k_, v_):
+        return ffpa_attn_func(q_, k_, v_, is_causal=causal, enable_gqa=True)
+
+    def oracle(q_, k_, v_):
+        return reference_attention(
+            q_, expand_kv_heads(k_, hq), expand_kv_heads(v_, hq), None,
+            is_causal=causal, scale=scale,
+        )
+
+    out = ffpa(q, k, v)
+    ref = reference_attention(
+        q, expand_kv_heads(k, hq), expand_kv_heads(v, hq), None,
+        is_causal=causal, scale=scale,
+    )
+    _assert_close(out, ref, dtype, "out")
+    dq, dk, dv = _grads(ffpa, (q, k, v), do)
+    dq_r, dk_r, dv_r = _grads(oracle, (q, k, v), do)
+    _assert_close(dq, dq_r, dtype, "dq")
+    _assert_close(dk, dk_r, dtype, "dk")
+    _assert_close(dv, dv_r, dtype, "dv")
+
+    # Broadcast key-bias under partial residency: db = db1 + db2.
+    bias = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 1, nkv), jnp.float32)
+
+    def ffpa_b(q_, k_, v_, bias_):
+        return ffpa_attn_func(
+            q_, k_, v_, attn_mask=bias_, is_causal=causal, enable_gqa=True
+        )
+
+    def oracle_b(q_, k_, v_, bias_):
+        return reference_attention(
+            q_, expand_kv_heads(k_, hq), expand_kv_heads(v_, hq), bias_,
+            is_causal=causal, scale=scale,
+        )
+
+    *g_b, db = _grads(ffpa_b, (q, k, v, bias), do)
+    *g_br, db_r = _grads(oracle_b, (q, k, v, bias), do)
+    np.testing.assert_allclose(
+        np.asarray(db, np.float32), np.asarray(db_r, np.float32),
+        atol=5e-2, rtol=5e-2, err_msg="dbias",
+    )
+
+    # Dropout forbids PARTIAL residency (head-shifted hash) -> 0 ...
+    st_drop = StaticArgs(
+        scale=scale, is_causal=causal, dropout_p=0.1, fwd_config=None,
+        bwd_config=None, backward_is_sdpa=False,
+        grad_kv_storage_dtype=None, grad_q_storage_dtype=None,
+    )
+    assert _resident_head_count(st_drop, q, k, v, None) == 0
+    # ... but FULL residency with dropout stays allowed.
+    monkeypatch.setenv(
+        "FFPA_TPU_HBM_BYTES", str(residents + margin + 8 * per_head)
+    )
+    assert _resident_head_count(st_drop, q, k, v, None) == hq
+
+
 def test_fwd_scores_residual_matches_plain():
     """return_scores must not perturb (o, lse), and exp(S - lse) must
     reproduce the probability matrix of the fp32 oracle within bf16
