@@ -592,6 +592,18 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    # The kernel bench is a SINGLE attention call per step, so the
+    # S-residency auto gate's stacked-model layer multiplier does not
+    # apply — declare one layer (same spirit as the reference benching
+    # with autotune=max: the library's best honest single-call config).
+    # The stock-XLA baseline is symmetrically unconstrained: its
+    # auto-remat saves chunk residuals with ALL free HBM. Explicit env
+    # settings still win over this default.
+    import os
+
+    if os.environ.setdefault("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1") == "1":
+        print("[bench] single-call bench: FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS=1")
+
     if args.e2e:
         from ._e2e import main as e2e_main
 

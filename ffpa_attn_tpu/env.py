@@ -144,11 +144,15 @@ class ENV:
         The budget is per attention call. Layer-stacked training should
         either keep the default (and rely on layer-level ``jax.checkpoint``,
         under which only one layer's S is live at a time) or set the env
-        var lower.
+        var lower. Since round 3 the binding guard in AUTO mode is the
+        measured-headroom check in ``_resident_head_count`` (scaled by
+        ``scores_auto_assumed_layers``), so this cap is a coarse upper
+        bound; partial head residency means a budget below the full
+        residual still buys a hybrid 4/5-matmul backward.
         """
         return _env_int(
             "FFPA_TPU_SCORES_RESIDUAL_LIMIT_BYTES",
-            9 * 1024 * 1024 * 1024 // 2,  # 4.5 GiB
+            8 * 1024 * 1024 * 1024,
         )
 
     @staticmethod
