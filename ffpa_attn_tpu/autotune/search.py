@@ -95,27 +95,34 @@ def bwd_candidates(
 
     blocks = _FAST_BLOCKS if mode == "fast" else _MAX_BLOCKS
     limit = ENV.vmem_limit_bytes()
+    # Accumulator-split variants (dK via the dS-slab einsum instead of
+    # in-kernel; config.py dkdv_dk_in_kernel) enter the space at large D
+    # on the from-S path, where dropping dK also drops the Q stream —
+    # the re-derivation of the reference's M8N1<->M4N2 D>=768 dispatch.
+    dk_variants = (True, False) if (from_scores and d >= 640) else (True,)
     out = []
     for bq in blocks:
         for bkv in blocks:
-            cfg = BlockConfig(
-                block_q_dkdv=bq,
-                block_kv_dkdv=bkv,
-                block_q_dq=bq,
-                block_kv_dq=bkv,
-            ).clamp(nq, nkv)
-            dkdv_bytes = (
-                bwd_dkdv_from_s_vmem_bytes(cfg, d, dv, itemsize)
-                if from_scores
-                else bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias)
-            )
-            if (
-                dkdv_bytes > limit
-                or bwd_dq_vmem_bytes(cfg, d, dv, itemsize, has_bias) > limit
-            ):
-                continue
-            if all(c != cfg for c, _ in out):
-                out.append((cfg, (bq, bkv)))
+            for dk_in in dk_variants:
+                cfg = BlockConfig(
+                    block_q_dkdv=bq,
+                    block_kv_dkdv=bkv,
+                    block_q_dq=bq,
+                    block_kv_dq=bkv,
+                    dkdv_dk_in_kernel=dk_in,
+                ).clamp(nq, nkv)
+                dkdv_bytes = (
+                    bwd_dkdv_from_s_vmem_bytes(cfg, d, dv, itemsize)
+                    if from_scores
+                    else bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias)
+                )
+                if (
+                    dkdv_bytes > limit
+                    or bwd_dq_vmem_bytes(cfg, d, dv, itemsize, has_bias) > limit
+                ):
+                    continue
+                if all(c != cfg for c, _ in out):
+                    out.append((cfg, (bq, bkv)))
     return _order_and_cap(
         out, ((512, 512), (512, 256), (256, 512), (1024, 512), (1024, 256))
     )

@@ -45,7 +45,9 @@ _CONFIG_FIELDS = (
     "block_kv_dkdv",
     "block_q_dq",
     "block_kv_dq",
+    "dkdv_dk_in_kernel",
 )
+_BOOL_CONFIG_FIELDS = ("dkdv_dk_in_kernel",)
 
 
 def sanitize_device_kind(kind: str) -> str:
@@ -137,7 +139,11 @@ def _entry_config(entry: dict[str, Any]) -> Optional[BlockConfig]:
     cfg = entry.get("config")
     if not isinstance(cfg, dict):
         return None
-    kwargs = {k: int(cfg[k]) for k in _CONFIG_FIELDS if k in cfg}
+    kwargs = {
+        k: (bool(cfg[k]) if k in _BOOL_CONFIG_FIELDS else int(cfg[k]))
+        for k in _CONFIG_FIELDS
+        if k in cfg
+    }
     try:
         return BlockConfig(**kwargs)
     except (TypeError, ValueError):

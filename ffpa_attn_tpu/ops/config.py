@@ -41,6 +41,16 @@ class BlockConfig:
     block_kv_dkdv: int = 256
     block_q_dq: int = 256
     block_kv_dq: int = 256
+    # Accumulator-split dispatch (the TPU re-derivation of the reference's
+    # M8N1<->M4N2 accumulator-layout choice at D>=768,
+    # csrc/cuffpa/cute/sm_120/split_d_m4n2.cuh:29-47): when False, the
+    # dK/dV kernel accumulates ONLY dV in VMEM and dK is produced by an
+    # XLA einsum over the materialized dS slab (same matmul count — the
+    # dS^T@Q unit moves out of the kernel), freeing bkv*D*4 bytes of
+    # scratch so KV-owner tiles can grow at large D. Requires a path that
+    # materializes dS (the handoff/from-S backward; the plain recompute
+    # path forces it back to True).
+    dkdv_dk_in_kernel: bool = True
 
     def __post_init__(self):
         for name in (
@@ -114,10 +124,13 @@ def bwd_dkdv_vmem_bytes(
     and the tile math holds ~3 score-sized fp32 live values (s, dP, dS).
     ``emit_ds`` adds the double-buffered dS handoff output block."""
     bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+    dk_in = cfg.dkdv_dk_in_kernel
+    # With dK out of kernel only its fp32 scratch drops here (K/Q are
+    # still read for the S recompute).
     kv_tiles = bkv * (d + dv) * itemsize
     q_streams = 2 * bq * (d + dv) * itemsize
     scores = 3 * bq * bkv * 4
-    scratch = bkv * (d + dv) * 4  # dk, dv accumulators
+    scratch = bkv * ((d if dk_in else 0) + dv) * 4  # dk?, dv accumulators
     bias = 2 * bq * bkv * 4 if has_bias else 0
     ds_out = 2 * bq * bkv * itemsize if emit_ds else 0
     return kv_tiles + q_streams + scores + scratch + bias + ds_out
@@ -130,10 +143,15 @@ def bwd_dkdv_from_s_vmem_bytes(
     streamed inputs are (S, Q, dO) tiles and the dS block is always emitted
     (aliased over S in HBM)."""
     bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
+    dk_in = cfg.dkdv_dk_in_kernel
     v_tile = bkv * dv * itemsize  # owner
-    streams = 2 * (bq * d + bq * dv + bq * bkv) * itemsize  # q, do, s
+    # With dK in kernel, Q streams in; without it Q is not read at all
+    # (the from-S kernel needs only s/do/v for p, dP, dV).
+    streams = 2 * (
+        (bq * d if dk_in else 0) + bq * dv + bq * bkv
+    ) * itemsize  # q?, do, s
     scores = 3 * bq * bkv * 4  # p, dp, ds fp32 live values
-    scratch = bkv * (d + dv) * 4  # dk, dv accumulators
+    scratch = bkv * ((d if dk_in else 0) + dv) * 4  # dk?, dv accumulators
     ds_out = 2 * bq * bkv * itemsize
     return v_tile + streams + scores + scratch + ds_out
 

@@ -298,15 +298,15 @@ def _dkdv_kernel(
 def _dkdv_from_s_kernel(
     seed_ref,
     s_ref,  # (1, 1, bq, bkv) — saved post-scale/bias/mask scores
-    q_ref,  # (1, 1, bq, D)
+    q_ref,  # (1, 1, bq, D) — None when dk_in_kernel=False (q unread)
     v_ref,  # (1, 1, bkv, Dv)
     do_ref,  # (1, 1, bq, Dv)
     lse_ref,  # (1, 1, 1, bq)
     delta_ref,  # (1, 1, 1, bq)
-    dk_ref,  # (1, 1, bkv, D) out
+    dk_ref,  # (1, 1, bkv, D) out — None when dk_in_kernel=False
     dv_ref,  # (1, 1, bkv, Dv) out
     ds_ref,  # (1, 1, bq, bkv) out — bf16 dS handoff (HBM-aliased over S)
-    dk_scr,  # VMEM (bkv, D) f32
+    dk_scr,  # VMEM (bkv, D) f32 — None when dk_in_kernel=False
     dv_scr,  # VMEM (bkv, Dv) f32
     *,
     scale,
@@ -318,6 +318,7 @@ def _dkdv_from_s_kernel(
     num_q_blocks,
     group=1,
     precise_pv=False,
+    dk_in_kernel=True,
 ):
     b_idx = pl.program_id(0)
     hk_idx = pl.program_id(1)
@@ -327,12 +328,13 @@ def _dkdv_from_s_kernel(
     i = gi % num_q_blocks
     h_idx = hk_idx * group + g
 
-    bq = q_ref.shape[2]
+    bq = s_ref.shape[2]
     bkv = s_ref.shape[3]
 
     @pl.when(gi == 0)
     def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
+        if dk_in_kernel:
+            dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     if causal:
@@ -342,7 +344,6 @@ def _dkdv_from_s_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse_row = lse_ref[0, 0, 0][:, None]
@@ -376,12 +377,14 @@ def _dkdv_from_s_kernel(
         ds = p * (dp_eff - delta_row)
 
         _dv_accumulate(dv_scr, p_dropped, do, precise_pv)
-        dk_scr[...] += jnp.float32(scale) * lax.dot_general(
-            ds.astype(q.dtype),
-            q,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if dk_in_kernel:
+            q = q_ref[0, 0]
+            dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+                ds.astype(q.dtype),
+                q,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         ds_ref[0, 0] = ds.astype(ds_ref.dtype)
 
     if causal:
@@ -396,8 +399,27 @@ def _dkdv_from_s_kernel(
 
     @pl.when(gi == group * num_q_blocks - 1)
     def _epilogue():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        if dk_in_kernel:
+            dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _adapt_from_s(kernel, dk_in_kernel: bool):
+    """Map the actual pallas ref list to the full _dkdv_from_s_kernel
+    signature (q/dk refs and dk scratch are absent when dK is produced by
+    the XLA einsum over the dS slab instead of in-kernel)."""
+    if dk_in_kernel:
+        return kernel
+
+    @functools.wraps(kernel)
+    def wrapped(seed_ref, s_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dv_ref, ds_ref, dv_scr, **kw):
+        return kernel(
+            seed_ref, s_ref, None, v_ref, do_ref, lse_ref, delta_ref,
+            None, dv_ref, ds_ref, None, dv_scr, **kw
+        )
+
+    return wrapped
 
 
 def _dkdv_from_s_launch(
@@ -442,14 +464,20 @@ def _dkdv_from_s_launch(
     def qi(j, gi):
         return qi_index(j, gi % nqb)
 
+    dk_in_kernel = bool(getattr(config, "dkdv_dk_in_kernel", True))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
             (1, 1, bq, bkv), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), j)
         ),
-        pl.BlockSpec(
+    ]
+    inputs = [seed_arr, s_pad]
+    if dk_in_kernel:
+        in_specs.append(pl.BlockSpec(
             (1, 1, bq, d), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0)
-        ),
+        ))
+        inputs.append(q_p)
+    in_specs += [
         pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
         pl.BlockSpec(
             (1, 1, bq, dv_dim),
@@ -462,13 +490,10 @@ def _dkdv_from_s_launch(
             (1, 1, 1, bq), lambda b_, hk, j, gi: (b_, qh(hk, gi), 0, qi(j, gi))
         ),
     ]
-    inputs = [
-        seed_arr, s_pad, q_p, v_p, do_p,
-        lse_p[:, :, None, :], delta_p[:, :, None, :],
-    ]
+    inputs += [v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
 
     kernel = functools.partial(
-        _dkdv_from_s_kernel,
+        _adapt_from_s(_dkdv_from_s_kernel, dk_in_kernel),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -478,42 +503,54 @@ def _dkdv_from_s_launch(
         num_q_blocks=num_q_blocks,
         group=group,
         precise_pv=precise_pv,
+        dk_in_kernel=dk_in_kernel,
     )
 
     ds_map = lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j)
     dk_dtype = _grad_dtype(grad_kv_storage_dtype, q.dtype)
-    out_specs = [
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0)),
+    out_specs = []
+    out_shape = []
+    scratch = []
+    if dk_in_kernel:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, nkv_pad, d), dk_dtype))
+        scratch.append(pltpu.VMEM((bkv, d), jnp.float32))
+    out_specs += [
         pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
         pl.BlockSpec((1, 1, bq, bkv), ds_map),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((b, hkv, nkv_pad, d), dk_dtype),
+    out_shape += [
         jax.ShapeDtypeStruct((b, hkv, nkv_pad, dv_dim), dk_dtype),
         jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), s_pad.dtype),
     ]
-    dk, dv, ds_full = pl.pallas_call(
+    scratch.append(pltpu.VMEM((bkv, dv_dim), jnp.float32))
+    result = pl.pallas_call(
         kernel,
         grid=(b, hkv, num_kv_blocks, group * num_q_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bkv, d), jnp.float32),
-            pltpu.VMEM((bkv, dv_dim), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         # dS overwrites the S residual in place: each (i, j) block is read
         # and written in the same grid step, and the residual has no other
-        # consumer — halves the N^2 HBM footprint.
-        input_output_aliases={1: 2},
+        # consumer — halves the N^2 HBM footprint. The s input index moves
+        # with q_p's presence; the ds output is always last.
+        input_output_aliases={1: len(out_shape) - 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
+    if dk_in_kernel:
+        dk, dv, ds_full = result
+    else:
+        (dv, ds_full), dk = result, None
 
     if nkv_pad != nkv:
-        dk = dk[:, :, :nkv]
+        if dk is not None:
+            dk = dk[:, :, :nkv]
         dv = dv[:, :, :nkv]
     dv = dv.astype(_grad_dtype(grad_kv_storage_dtype, v.dtype))
     return dk, dv, ds_full
@@ -751,6 +788,22 @@ def flash_attention_backward(
             interpret=interpret, precise_pv=precise_pv,
         )
         dq_dtype = _grad_dtype(grad_q_storage_dtype, q.dtype)
+        if dk is None:
+            # Accumulator-split dispatch: dK from the dS slab (banded
+            # kernel under causal so skipped tiles stay free).
+            dk_dtype = _grad_dtype(grad_kv_storage_dtype, k.dtype)
+            if is_causal:
+                dk = _banded_dk_from_ds(
+                    ds_full, q, config,
+                    scale=scale, group=group, nq=nq, nkv=nkv,
+                    causal_offset=causal_offset, dk_dtype=dk_dtype,
+                    interpret=interpret,
+                )
+            else:
+                dk = _dk_from_ds(
+                    ds_full, q, scale=scale, group=group, nq=nq, nkv=nkv,
+                    dk_dtype=dk_dtype,
+                )
         if is_causal:
             dq = _banded_dq_from_ds(
                 ds_full, k, config,
@@ -769,6 +822,14 @@ def flash_attention_backward(
                 scale=scale, group=group, nq=nq, nkv=nkv, dq_dtype=dq_dtype,
             )
         return dq, dk, dv, dbias
+
+    # The recompute paths below keep dK in-kernel (the accumulator-split
+    # dispatch is implemented for the from-S path, where dropping dK also
+    # drops the whole Q stream).
+    if not config.dkdv_dk_in_kernel:
+        from dataclasses import replace as _replace
+
+        config = _replace(config, dkdv_dk_in_kernel=True)
 
     # Handoff decision + KV striping: the dS buffer is bounded by the env
     # budget; when the full [B,Hq,Nq,Nkv] doesn't fit, process KV in
@@ -1080,6 +1141,130 @@ def _banded_dq_from_ds(
         interpret=interpret,
     )(ds_full, k_p)[0]
     return dq[:, :, :nq]
+
+
+def _dk_from_ds(ds_full, q, *, scale, group, nq, nkv, dk_dtype):
+    """dK from the materialized score gradient: ``dk = scale * dS^T @ Q``
+    — the out-of-kernel half of the accumulator-split dispatch
+    (config.BlockConfig.dkdv_dk_in_kernel; the TPU analog of the
+    reference's M4N2 layout at D>=768, split_d_m4n2.cuh:29-47). One
+    MXU-shaped einsum with the GQA group reduced in fp32."""
+    b, hq = ds_full.shape[:2]
+    hkv = hq // group
+    ds_c = ds_full[:, :, :nq, :nkv]
+    q_c = q[:, :, :nq]
+    if group > 1:
+        ds_g = ds_c.reshape(b, hkv, group, nq, ds_c.shape[-1])
+        q_g = q_c.reshape(b, hkv, group, nq, q.shape[-1])
+        dk = jnp.einsum(
+            "bhgqk,bhgqd->bhkd", ds_g, q_g,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        dk = jnp.einsum(
+            "bhqk,bhqd->bhkd", ds_c, q_c,
+            preferred_element_type=jnp.float32,
+        )
+    return (jnp.float32(scale) * dk).astype(dk_dtype)
+
+
+def _banded_dk_kernel(
+    ds_ref,  # (1, 1, bq, bkv)
+    q_ref,  # (1, 1, bq, D)
+    dk_ref,  # (1, 1, bkv, D) out
+    dk_scr,  # VMEM (bkv, D) f32
+    *,
+    scale,
+    causal_offset,
+    num_q_blocks,
+    group,
+):
+    """dK += scale * dS^T @ Q with causal tile skipping — the banded-dq
+    kernel's mirror for the out-of-kernel dK half (above-diagonal dS tiles
+    cost neither bandwidth nor MXU time)."""
+    gi = pl.program_id(3)
+    j = pl.program_id(2)
+    i = gi % num_q_blocks
+    bq = ds_ref.shape[2]
+    bkv = ds_ref.shape[3]
+
+    @pl.when(gi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+
+    should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
+
+    @pl.when(should_run)
+    def _compute():
+        ds = ds_ref[0, 0]
+        q = q_ref[0, 0]
+        dk_scr[...] += jnp.float32(scale) * lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(gi == group * num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+
+
+def _banded_dk_from_ds(
+    ds_full, q, config, *, scale, group, nq, nkv, causal_offset, dk_dtype,
+    interpret,
+):
+    """Causal dK from the dS slab via the tile-skipping kernel. ``ds_full``
+    is the padded [B, Hq, nq_pad, nkv_pad] slab (zeros above the band)."""
+    b, hq, nq_pad, nkv_pad = ds_full.shape
+    d = q.shape[-1]
+    hkv = hq // group
+    bq = config.block_q_dkdv
+    bkv = config.block_kv_dkdv
+    num_q_blocks = nq_pad // bq
+    num_kv_blocks = nkv_pad // bkv
+    q_p = _pad_dim(q, 2, nq_pad)
+    nqb = num_q_blocks
+
+    def qi_index(j, i, bq=bq, bkv=bkv, off=causal_offset):
+        i_min = jnp.maximum(0, -(-(j * bkv + 1 - off) // bq) - 1)
+        return jnp.maximum(i, i_min)
+
+    def qh(hk, gi, g=group):
+        return hk * g + gi // nqb
+
+    def qi(j, gi):
+        return qi_index(j, gi % nqb)
+
+    kernel = functools.partial(
+        _banded_dk_kernel,
+        scale=scale,
+        causal_offset=causal_offset,
+        num_q_blocks=num_q_blocks,
+        group=group,
+    )
+    dk = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, num_kv_blocks, group * num_q_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, bkv),
+                lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), j),
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, d),
+                lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j, gi: (b_, hk, j, 0))
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, hkv, nkv_pad, d), dk_dtype)],
+        scratch_shapes=[pltpu.VMEM((bkv, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ds_full, q_p)[0]
+    return dk[:, :, :nkv]
 
 
 def _dbias_from_ds(ds_c, bias):

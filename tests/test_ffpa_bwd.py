@@ -481,6 +481,40 @@ def test_partial_head_residency(monkeypatch, causal):
     assert _resident_head_count(st_drop, q, k, v, None) == hq
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("group", [1, 2])
+def test_accumulator_split_dk_from_ds(causal, group):
+    """Accumulator-split dispatch (dkdv_dk_in_kernel=False): dK produced by
+    the dS-slab einsum (banded kernel under causal) must match the
+    in-kernel accumulation (config.py; the M4N2 analog at D>=768)."""
+    from dataclasses import replace
+
+    from ffpa_attn_tpu.ops.config import BlockConfig
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, hq, nq, nkv, d = 1, 2 * group, 256, 384, 640
+    hkv = hq // group
+    q, k, v, do = _make(b, hq, hkv, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    o, lse, s = flash_attention_forward(
+        q, k, v, None, scale=scale, is_causal=causal, return_scores=True,
+    )
+    base = BlockConfig(block_q_dkdv=128, block_kv_dkdv=128,
+                       block_q_dq=128, block_kv_dq=128)
+    ref = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        scores=s, config=base,
+    )
+    got = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        scores=s, config=replace(base, dkdv_dk_in_kernel=False),
+    )
+    for name, r, g in zip(("dq", "dk", "dv"), ref, got):
+        _assert_rel_close(g, r, name)
+
+
 def test_fwd_scores_residual_matches_plain():
     """return_scores must not perturb (o, lse), and exp(S - lse) must
     reproduce the probability matrix of the fp32 oracle within bf16
