@@ -150,6 +150,18 @@ def _resident_head_count(static: StaticArgs, q, k, v, bias) -> int:
     headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
     budget = min(limit, max(headroom, 0) // layers)
     m = min(hq, int(budget // per_head_bytes))
+    if m < hq:
+        # Partial residency: the non-resident heads' backward still needs
+        # HBM for its dS-handoff stripe slabs WHILE the S slab is live —
+        # reserve a coarse-slab's worth so the stripe loop doesn't
+        # degenerate into many tiny stripes (flash_bwd.py's auto gate also
+        # sees the slab via extra_resident_bytes and adapts regardless).
+        reserve = min(
+            ENV.ds_handoff_limit_bytes(),
+            3 * 1024 * 1024 * 1024 // 2,
+            budget // 4,
+        )
+        m = min(hq, int(max(0, budget - reserve) // per_head_bytes))
     m = (m // group) * group  # whole GQA groups only
     if m < hq and static.dropout_p > 0.0:
         return 0
@@ -260,6 +272,9 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 q[:, m:], k[:, mk:], v[:, mk:],
                 _slice_bias_heads(bias, m, hq),
                 o[:, m:], lse[:, m:], do[:, m:], scores=None,
+                # The resident S slab is live while this half runs; its
+                # bytes must come out of the dS-handoff slab headroom.
+                extra_resident_bytes=scores.size * scores.dtype.itemsize,
             )
             dq = jnp.concatenate([dq1, dq2], axis=1)
             dk = jnp.concatenate([dk1, dk2], axis=1)

@@ -718,6 +718,7 @@ def flash_attention_backward(
     ds_handoff: Optional[bool] = None,
     scores: Optional[jnp.ndarray] = None,
     precise_pv: bool = False,
+    extra_resident_bytes: int = 0,
 ):
     """Three-launch backward. Returns (dq, dk, dv, dbias_or_None).
 
@@ -851,9 +852,12 @@ def flash_attention_backward(
         # the only tenant, so a further model-residency margin applies).
         # Striping bounds slab size, so the binding constraint is headroom,
         # not total dS (the old `8 * limit` fudge).
+        # extra_resident_bytes: co-resident HBM this call cannot see from
+        # its own operands — the hybrid partial-residency backward passes
+        # the sibling head-range's live S slab here (ops/attention.py).
         residents = itemsize * (
             2 * q.size + 2 * k.size + 2 * v.size + 2 * do.size
-        ) + (0 if bias is None else bias.size * 4)
+        ) + (0 if bias is None else bias.size * 4) + extra_resident_bytes
         headroom = ENV.hbm_bytes() - residents - ENV.hbm_model_margin_bytes()
         slab_limit = min(limit, max(headroom, 0))
         ds_handoff = slab_limit > 0 and (

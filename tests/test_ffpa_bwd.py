@@ -409,14 +409,16 @@ def test_partial_head_residency(monkeypatch, causal):
     q, k, v, do = _make(b, hq, hkv, nq, nkv, d, dtype)
     scale = 1.0 / np.sqrt(d)
 
-    # Budget for exactly 2 of 4 query heads (per_head = b*nq_pad*nkv_pad*2;
-    # blocks clamp to 256/384 here so pads equal the true sizes).
+    # Budget for 3 head-residuals (per_head = b*nq_pad*nkv_pad*2; blocks
+    # clamp to 256/384 here so pads equal the true sizes): the partial
+    # gate reserves budget//4 for the rest-heads' handoff slabs, leaving
+    # m = (3 - 0.75) -> 2 resident heads.
     per_head = b * nq * nkv * 2
     residents = 2 * (5 * q.size + 4 * k.size)
     margin = 4 * 1024**3
     monkeypatch.setenv("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1")
     monkeypatch.setenv(
-        "FFPA_TPU_HBM_BYTES", str(residents + margin + 5 * per_head // 2)
+        "FFPA_TPU_HBM_BYTES", str(residents + margin + 3 * per_head)
     )
     st = StaticArgs(
         scale=scale, is_causal=causal, dropout_p=0.0, fwd_config=None,
