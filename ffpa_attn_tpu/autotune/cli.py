@@ -20,7 +20,7 @@ from ..logger import init_logger
 logger = init_logger(__name__)
 
 DEFAULT_HEADDIMS = (320, 512, 640, 768, 1024)
-DEFAULT_SEQLENS = (1024, 4096, 8192, 16384)
+DEFAULT_SEQLENS = (1024, 2048, 4096, 8192, 16384)
 
 
 @dataclass(frozen=True)
@@ -35,9 +35,23 @@ class TuneTask:
     causal: bool
     has_bias: bool = False
     dropout: bool = False
-    gqa: bool = False
+    gqa: bool = False  # Hkv = H // 4
+    mqa: bool = False  # Hkv = 1 (reference --full-tasks MQA variant)
     b: int = 1
     h: int = 8
+
+    @property
+    def hkv(self) -> int:
+        if self.mqa:
+            return 1
+        if self.gqa:
+            return max(self.h // 4, 1)
+        return self.h
+
+    @property
+    def group(self) -> int:
+        g = self.h // self.hkv
+        return g if g > 1 else 0
 
 
 def iter_tasks(args) -> list[TuneTask]:
@@ -59,7 +73,32 @@ def iter_tasks(args) -> list[TuneTask]:
                                 b=args.B, h=args.H,
                             )
                         )
+                        if args.full_tasks and direction == "decode":
+                            # PackGQA decode folds the head group into the
+                            # Q-row tile, changing the KV-block trade-off
+                            # (ops/decode.py:160-173) — tune it separately.
+                            tasks.append(
+                                TuneTask(
+                                    direction, d, 1, n, dtype, False,
+                                    gqa=True, b=args.B, h=args.H,
+                                )
+                            )
                     continue
+                if args.cross_tasks:
+                    # Short-Nq cross-attention (Nq = Nkv // 8, the bench's
+                    # cross case): tile shapes differ from self-attn — the
+                    # dS/S slabs are 8x smaller so the S-resident backward
+                    # always fits, and short Q favors wide KV owner tiles.
+                    for n in args.seqlens:
+                        nq_c = n // 8
+                        if nq_c < 128:
+                            continue
+                        tasks.append(
+                            TuneTask(
+                                direction, d, nq_c, n, dtype, False,
+                                b=args.B, h=args.H,
+                            )
+                        )
                 for n in args.seqlens:
                     # Prune shapes that exceed HBM (reference prunes <48GB
                     # VRAM, autotune.py:138-144) — v5e has 16GB.
@@ -92,6 +131,12 @@ def iter_tasks(args) -> list[TuneTask]:
                                     gqa=True, b=args.B, h=args.H,
                                 )
                             )
+                            tasks.append(
+                                TuneTask(
+                                    direction, d, n, n, dtype, False,
+                                    mqa=True, b=args.B, h=args.H,
+                                )
+                            )
     return tasks
 
 
@@ -105,7 +150,7 @@ def run_task(task: TuneTask, mode: str):
     from .store import ConfigKey, make_entry
 
     dtype = jnp.dtype(task.dtype)
-    hkv = max(task.h // 4, 1) if task.gqa else task.h
+    hkv = task.hkv
     key = jax.random.PRNGKey(0)
     kq, kk, kv, kb = jax.random.split(key, 4)
     q = jax.random.normal(kq, (task.b, task.h, task.nq, task.d), dtype=dtype)
@@ -159,7 +204,8 @@ def run_task(task: TuneTask, mode: str):
         causal=task.causal,
         has_bias=task.has_bias,
         dropout=task.dropout,
-        gqa=task.gqa,
+        gqa=task.gqa or task.mqa,
+        group=task.group,
     )
     return make_entry(key_, cfg, ms=ms)
 
@@ -183,6 +229,10 @@ def main(argv=None) -> int:
     parser.add_argument("--B", type=int, default=1)
     parser.add_argument("--H", type=int, default=8)
     parser.add_argument("--full-tasks", action="store_true")
+    parser.add_argument(
+        "--cross-tasks", action="store_true",
+        help="add short-Nq cross-attention tasks (Nq = Nkv // 8)",
+    )
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument(
         "--num-workers", type=int, default=1,

@@ -77,6 +77,12 @@ class ConfigKey:
     has_bias: bool
     dropout: bool
     gqa: bool
+    # KV grouping factor (Hq // Hkv) for gqa entries: 4 for the default GQA
+    # variant, equal to H for MQA. 0 = unspecified/MHA (pre-group schema
+    # entries load as 0). A soft RANK in lookup, never a filter — the
+    # reference treats head layout the same way
+    # (_persistent_autotune.py:503-527).
+    group: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -162,6 +168,7 @@ def lookup_tuned_config(
     has_bias: bool,
     dropout: bool,
     gqa: bool,
+    group: int = 0,
     device_kind: Optional[str] = None,
 ) -> Optional[BlockConfig]:
     """Best-entry lookup. Returns None when no usable entry exists.
@@ -216,6 +223,9 @@ def lookup_tuned_config(
         return (
             not (over_q and over_k),  # prefer covering buckets
             abs(sq - nq) + abs(sk - nkv),
+            # Group factor is a soft rank (GQA-4 entries serve MQA queries
+            # and vice versa when nothing closer exists).
+            abs(int(k.get("group", 0) or 0) - group),
             not exact_dtype,
         )
 

@@ -131,6 +131,8 @@ def _resident_head_count(static: StaticArgs, q, k, v, bias) -> int:
         cfg = pick_forward_config(
             d=d, dv=v.shape[-1], nq=nq, nkv=nkv, dtype=q.dtype,
             causal=static.is_causal, has_bias=bias is not None,
+            dropout=static.dropout_p > 0.0, gqa=group > 1,
+            group=group if group > 1 else 0,
         )
     cfg = cfg.clamp(nq, nkv)
     cfg = _fit_fwd_for_scores(cfg, d, v.shape[-1], q.dtype, bias is not None)

@@ -129,12 +129,15 @@ def _decode_kernel(
         lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-38))
 
 
-def _decode_block_kv(d: int, dv: int, nkv: int, dtype) -> int:
+def _decode_block_kv(d: int, dv: int, nkv: int, dtype, group: int = 1) -> int:
     """Tuned-store lookup for the decode KV block (direction='decode'),
     falling back to the measured v5e default of 1024."""
     from .dispatch import pick_decode_config
 
-    cfg = pick_decode_config(d=d, dv=dv, nkv=nkv, dtype=dtype)
+    cfg = pick_decode_config(
+        d=d, dv=dv, nkv=nkv, dtype=dtype,
+        gqa=group > 1, group=group if group > 1 else 0,
+    )
     return cfg.block_kv if cfg is not None else 1024
 
 
@@ -155,7 +158,7 @@ def _decode_forward(
     group = hq // hkv
 
     if block_kv is None:
-        block_kv = _decode_block_kv(d, dv_dim, nkv, q.dtype)
+        block_kv = _decode_block_kv(d, dv_dim, nkv, q.dtype, group=group)
 
     # PackGQA: rows of the Q tile are (group, nq) pairs — row r is query
     # head hk*group + r//nq at position r % nq. K/V stream once per KV

@@ -26,6 +26,7 @@ def pick_forward_config(
     has_bias: bool,
     dropout: bool = False,
     gqa: bool = False,
+    group: int = 0,
 ) -> BlockConfig:
     """Tuned-config lookup, falling back to the heuristic default."""
     from ..autotune.store import lookup_tuned_config
@@ -41,6 +42,7 @@ def pick_forward_config(
         has_bias=has_bias,
         dropout=dropout,
         gqa=gqa,
+        group=group,
     )
     if cfg is not None:
         return cfg
@@ -49,7 +51,7 @@ def pick_forward_config(
 
 
 def pick_decode_config(
-    *, d: int, dv: int, nkv: int, dtype
+    *, d: int, dv: int, nkv: int, dtype, gqa: bool = False, group: int = 0
 ) -> Optional[BlockConfig]:
     """Tuned-config lookup for the decode kernel (direction='decode');
     returns None when no entry exists (caller uses the measured default).
@@ -66,7 +68,8 @@ def pick_decode_config(
         causal=False,
         has_bias=False,
         dropout=False,
-        gqa=False,
+        gqa=gqa,
+        group=group,
     )
 
 
@@ -81,6 +84,7 @@ def pick_backward_config(
     has_bias: bool,
     dropout: bool = False,
     gqa: bool = False,
+    group: int = 0,
 ) -> BlockConfig:
     from ..autotune.store import lookup_tuned_config
 
@@ -95,6 +99,7 @@ def pick_backward_config(
         has_bias=has_bias,
         dropout=dropout,
         gqa=gqa,
+        group=group,
     )
     if cfg is not None:
         return cfg

@@ -755,6 +755,8 @@ def flash_attention_backward(
         config = pick_backward_config(
             d=d, dv=dv_dim, nq=nq, nkv=nkv, dtype=q.dtype,
             causal=is_causal, has_bias=bias is not None,
+            dropout=dropout_p > 0.0, gqa=group > 1,
+            group=group if group > 1 else 0,
         )
     config = config.clamp(nq, nkv)
 

@@ -232,6 +232,8 @@ def flash_attention_forward(
         config = pick_forward_config(
             d=d, dv=dv, nq=nq, nkv=nkv, dtype=q.dtype,
             causal=is_causal, has_bias=bias is not None,
+            dropout=dropout_p > 0.0, gqa=group > 1,
+            group=group if group > 1 else 0,
         )
     config = config.clamp(nq, nkv)
     if return_scores:

@@ -150,3 +150,63 @@ def test_kill_switch(store_dir, monkeypatch):
     )
     monkeypatch.setenv("FFPA_TPU_SKIP_TUNED_CONFIG", "1")
     assert _lookup() is None
+
+
+def test_group_soft_rank(store_dir):
+    """Group factor prefers the matching entry but never filters: a GQA-4
+    query picks the group=4 entry over group=8, and an MQA query with no
+    MQA entry still gets the GQA one (reference treats head layout as a
+    soft rank, _persistent_autotune.py:503-527)."""
+    write_config_file(
+        [
+            make_entry(_key(gqa=True, group=4), BlockConfig(block_q=256)),
+            make_entry(_key(gqa=True, group=8), BlockConfig(block_q=512)),
+        ],
+        device_kind="FakeTPU v99",
+    )
+    got = _lookup(gqa=True, group=4)
+    assert got is not None and got.block_q == 256
+    got = _lookup(gqa=True, group=8)
+    assert got is not None and got.block_q == 512
+    # MQA (group=32): nearest group entry serves, no filter.
+    got = _lookup(gqa=True, group=32)
+    assert got is not None and got.block_q == 512
+    # Pre-group schema entries (group absent -> 0) still serve gqa queries.
+    clear_lookup_cache()
+    write_config_file(
+        [make_entry(_key(gqa=True), BlockConfig(block_q=1024))],
+        device_kind="FakeTPU v97",
+    )
+    got = _lookup(gqa=True, group=4, device_kind="FakeTPU v97")
+    assert got is not None and got.block_q == 1024
+
+
+def test_tune_task_grid_variants():
+    """--full-tasks adds MQA + decode-GQA variants; --cross-tasks adds
+    short-Nq rows (reference --full-tasks grid, autotune.py:161-234)."""
+    from types import SimpleNamespace
+
+    from ffpa_attn_tpu.autotune.cli import TuneTask, iter_tasks
+
+    args = SimpleNamespace(
+        directions=["fwd", "bwd", "decode"],
+        dtypes=["bfloat16"],
+        headdims=[512],
+        seqlens=[8192],
+        B=1,
+        H=32,
+        full_tasks=True,
+        cross_tasks=True,
+    )
+    tasks = iter_tasks(args)
+    mqa = [t for t in tasks if t.mqa]
+    assert mqa and all(t.hkv == 1 and t.group == 32 for t in mqa)
+    gqa4 = [t for t in tasks if t.gqa and not t.mqa]
+    assert gqa4 and all(t.hkv == 8 and t.group == 4 for t in gqa4)
+    dec_gqa = [t for t in tasks if t.direction == "decode" and t.gqa]
+    assert len(dec_gqa) == 1
+    cross = [t for t in tasks if t.nq != t.nkv and t.direction != "decode"]
+    assert {(t.nq, t.nkv) for t in cross} == {(1024, 8192)}
+    assert {t.direction for t in cross} == {"fwd", "bwd"}
+    # MHA tasks carry group=0 (unspecified) so keys match the old schema.
+    assert all(t.group == 0 for t in tasks if not (t.gqa or t.mqa))
