@@ -181,6 +181,16 @@ def _zigzag_bwd_impl(q, k, v, o, lse_ab, do, *, axis_name, axis_size, scale):
 
     kv_blk = (k, v)
     for r in range(axis_size):
+        # Prefetch-rotate KV for the next round BEFORE this round's
+        # kernels so XLA overlaps the ICI ppermute with the 2.5x-FLOPs
+        # backward compute (same fix as ring.py's backward; the
+        # accumulator rotation stays below — its only consumer is the
+        # `+=` after the NEXT round's kernels, so it overlaps regardless).
+        if r + 1 < axis_size:
+            kv_nxt = (
+                _rotate(kv_blk[0], axis_name, axis_size),
+                _rotate(kv_blk[1], axis_name, axis_size),
+            )
         ka, kb_ = kv_blk[0][:, :, :c], kv_blk[0][:, :, c:]
         va, vb_ = kv_blk[1][:, :, :c], kv_blk[1][:, :, c:]
         src = (s_idx - r) % axis_size
@@ -210,10 +220,7 @@ def _zigzag_bwd_impl(q, k, v, o, lse_ab, do, *, axis_name, axis_size, scale):
         dv_acc += jnp.concatenate([dva, dvb], axis=2)
 
         if r + 1 < axis_size:
-            kv_blk = (
-                _rotate(kv_blk[0], axis_name, axis_size),
-                _rotate(kv_blk[1], axis_name, axis_size),
-            )
+            kv_blk = kv_nxt
             dk_acc = _rotate(dk_acc, axis_name, axis_size)
             dv_acc = _rotate(dv_acc, axis_name, axis_size)
 
