@@ -39,7 +39,7 @@ step 1 verify-surface 2400 python tools/verify_surface.py
 step 2 tune-16k-bwd 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --directions bwd --headdims 512 --seqlens 16384 --H 32
 step 3 tune-bigD-bwd 7200 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
-  --directions bwd --headdims 640 768 1024 --seqlens 4096 8192 --H 16
+  --directions bwd --headdims 640 768 1024 --seqlens 4096 8192 --H 32
 # cross-attn short-Nq (ask #3)
 step 4 tune-cross 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --cross-tasks --directions fwd bwd --headdims 512 1024 --seqlens 8192 --H 32
@@ -73,7 +73,7 @@ step 13 tune-varlen 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-
 step 14 tune-variants 7200 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --full-tasks --directions fwd bwd --headdims 512 --seqlens 2048 4096 16384 --H 32
 step 15 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
-  --directions fwd --headdims 640 768 --seqlens 4096 8192 16384 --H 16
+  --directions fwd --headdims 640 768 --seqlens 4096 8192 16384 --H 32
 
 # --- 5. stored-vs-fresh quality gate + driver contract ---
 step 16 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
