@@ -1,0 +1,83 @@
+"""Sweep the partial-head S-residency count m at N=16K self-attn backward.
+
+The auto gate (ops/attention.py:_resident_head_count) picks m from the HBM
+budget; this probe measures grad time at several forced budgets to find the
+empirical best m and validate the reserve math. Forcing is done through the
+same env knobs the gate reads (FFPA_TPU_SCORES_RESIDUAL_LIMIT_BYTES with
+FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS=1), so the probe exercises the exact
+production path.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_16k_hybrid.py
+"""
+import os
+
+os.environ.setdefault("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1")
+
+import jax
+import jax.numpy as jnp
+
+GIB = 1024 ** 3
+
+
+def main():
+    print(jax.devices(), flush=True)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    dt = jnp.bfloat16
+    nq = nkv = 16384
+    d = 512
+    q = jax.random.normal(ks[0], (1, 32, nq, d), dt)
+    k = jax.random.normal(ks[1], (1, 32, nkv, d), dt)
+    v = jax.random.normal(ks[2], (1, 32, nkv, d), dt)
+    do = jax.random.normal(ks[3], (1, 32, nq, d), dt)
+
+    from ffpa_attn_tpu.cli._bench import time_chained
+
+    # limit -> expected m (per-head S = 512 MiB; reserve 1.5 GiB when
+    # partial). 0 disables residency entirely (pure striped handoff).
+    for limit_gib in (0.0, 2.0, 4.0, 6.0, 8.0, 10.0):
+        os.environ["FFPA_TPU_SCORES_RESIDUAL_LIMIT_BYTES"] = str(
+            int(limit_gib * GIB)
+        )
+        from ffpa_attn_tpu.interface import ffpa_attn_func
+        from ffpa_attn_tpu.ops import attention as att
+
+        class _S:
+            backward_is_sdpa = False
+            save_scores = None
+            is_causal = False
+            dropout_p = 0.0
+            fwd_config = None
+
+        m = att._resident_head_count(_S, q, k, v, None)
+
+        def step(q_, k_, v_, do_):
+            def loss(q2, k2, v2):
+                return (
+                    ffpa_attn_func(q2, k2, v2).astype(jnp.float32)
+                    * do_.astype(jnp.float32)
+                ).sum()
+
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q_, k_, v_)
+            return (
+                dq,
+                jnp.sum(dk.astype(jnp.float32))
+                + jnp.sum(dv.astype(jnp.float32)),
+            )
+
+        try:
+            t = time_chained(step, q, k, v, do, iters=3)
+            print(
+                f"limit={limit_gib:4.1f} GiB -> m={m:2d}/32 resident: "
+                f"grad {t:.2f} ms",
+                flush=True,
+            )
+        except Exception as exc:  # OOM at aggressive limits is data too
+            print(
+                f"limit={limit_gib:4.1f} GiB -> m={m:2d}/32 resident: "
+                f"FAILED {str(exc)[:160]}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,33 +50,36 @@ step 5 tune-fp16 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tas
 step 6 tune-decode 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --full-tasks --directions decode --headdims 320 512 1024 --seqlens 4096 8192 16384 --H 32
 
+# 16K hybrid m-sweep: empirical best resident-head count (feeds bench-16k)
+step 7 probe-16k-hybrid 5400 python tools/probe_16k_hybrid.py
+
 # --- 2. benchmark tables (consume the tuned entries above) ---
-step 7 bench-d512 5400 python -m ffpa_attn_tpu.bench --directions fwd bwd \
+step 8 bench-d512 5400 python -m ffpa_attn_tpu.bench --directions fwd bwd \
   --output docs/bench_v5e_d512_n8192.md --plot docs/ffpa_TPU_v5_lite_speedup.png
-step 8 bench-f16 5400 python -m ffpa_attn_tpu.bench --dtypes float16 --directions fwd bwd \
+step 9 bench-f16 5400 python -m ffpa_attn_tpu.bench --dtypes float16 --directions fwd bwd \
   --output docs/bench_v5e_d512_n8192_f16.md
-step 9 bench-16k 4200 python -m ffpa_attn_tpu.bench --N 16384 \
+step 10 bench-16k 4200 python -m ffpa_attn_tpu.bench --N 16384 \
   --cases self-attn causal gqa --directions fwd bwd \
   --output docs/bench_v5e_n16384.md --plot docs/ffpa_TPU_v5_lite_n16384.png
-step 10 bench-multiD 7200 python -m ffpa_attn_tpu.bench --D 320 640 768 1024 \
+step 11 bench-multiD 7200 python -m ffpa_attn_tpu.bench --D 320 640 768 1024 \
   --cases self-attn causal --directions fwd bwd \
   --output docs/bench_v5e_multiD.md --plot docs/ffpa_TPU_v5_lite_multiD.png
 
 # --- 3. e2e serving (batched-decode shared-row rewrite, ask #6) ---
-step 11 bench-e2e 3600 python -m ffpa_attn_tpu.bench --e2e
+step 12 bench-e2e 3600 python -m ffpa_attn_tpu.bench --e2e
 
 # --- 4. corpus breadth fill (ask #7: >=200 entries) ---
-step 12 tune-n2048 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 13 tune-n2048 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions fwd bwd --headdims 320 512 640 768 1024 --seqlens 2048 --H 32
-step 13 tune-varlen 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 14 tune-varlen 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions varlen --headdims 320 512 640 768 1024 --seqlens 4096 8192 --H 8
-step 14 tune-variants 7200 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 15 tune-variants 7200 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --full-tasks --directions fwd bwd --headdims 512 --seqlens 2048 4096 16384 --H 32
-step 15 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 16 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --directions fwd --headdims 640 768 --seqlens 4096 8192 16384 --H 32
 
 # --- 5. stored-vs-fresh quality gate + driver contract ---
-step 16 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
-step 17 bench-driver 1800 python bench.py
+step 17 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
+step 18 bench-driver 1800 python bench.py
 
 echo "== campaign complete $(date +%H:%M:%S)"
