@@ -192,11 +192,22 @@ def search(
     return best, best_ms
 
 
+def _search_compute_dtype(q, k, v):
+    """Mirror the interface's f16 policy for kernel-level searches: Mosaic
+    has no native f16, so production computes in bf16 (fp32 accumulation)
+    — time the search the same way. Returns (q, k, v, was_f16)."""
+    if q.dtype == jnp.float16:
+        cast = lambda t: t.astype(jnp.bfloat16)
+        return cast(q), cast(k), cast(v), True
+    return q, k, v, False
+
+
 def autotune_forward(
     q, k, v, bias, *, scale, is_causal, dropout_p=0.0, mode="fast"
 ) -> tuple[Optional[BlockConfig], float]:
     from ..ops.flash_fwd import flash_attention_forward
 
+    q, k, v, _ = _search_compute_dtype(q, k, v)
     d, dv = q.shape[-1], v.shape[-1]
     nq, nkv = q.shape[2], k.shape[2]
     itemsize = jnp.dtype(q.dtype).itemsize
@@ -256,6 +267,11 @@ def autotune_backward(
         ),
         q, k, v, bias,
     )
+    # f16 policy AFTER the residency decision (the gate keys on the f16
+    # primal dtype): kernels stream bf16; the f16 cotangent and
+    # precise_pv=True exercise the hi+lo dV split the production fp16
+    # backward runs, so tuned fp16 entries reflect its real VMEM shape.
+    q, k, v, was_f16 = _search_compute_dtype(q, k, v)
     cands = bwd_candidates(
         d, dv, nq, nkv, itemsize, bias is not None, mode,
         from_scores=use_scores,
@@ -271,7 +287,7 @@ def autotune_backward(
         o, lse, scores = fwd(q, k, v, bias)
     else:
         (o, lse), scores = fwd(q, k, v, bias), None
-    do = jnp.ones_like(o)
+    do = jnp.ones_like(o, jnp.float16) if was_f16 else jnp.ones_like(o)
 
     def make_step(cfg):
         def step(q_, k_, v_, o_, lse_, do_, *rest):
@@ -284,7 +300,7 @@ def autotune_backward(
             dq, dk, dvv, _ = flash_attention_backward(
                 q_, k_, v_, bias_, o_, lse_, do_, scale=scale,
                 is_causal=is_causal, dropout_p=dropout_p, config=cfg,
-                scores=scores_,
+                scores=scores_, precise_pv=was_f16,
             )
             extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
                 dvv.astype(jnp.float32)
@@ -314,6 +330,7 @@ def autotune_varlen(
     forward over (block_q, block_kv) pairs."""
     from ..ops.varlen import ffpa_varlen_attention
 
+    q3, k3, v3, _ = _search_compute_dtype(q3, k3, v3)
     blocks = (128, 256, 512) if mode == "fast" else (128, 256, 512, 1024)
     cands = []
     for bq in blocks:
@@ -345,6 +362,7 @@ def autotune_decode(
     knob — VERDICT round-1 gap: hard-coded 1024)."""
     from ..ops.decode import _decode_forward
 
+    q, k, v, _ = _search_compute_dtype(q, k, v)
     nkv = k.shape[2]
     blocks = (512, 1024, 2048) if mode == "fast" else (256, 512, 1024, 2048, 4096)
     cands = []

@@ -210,3 +210,19 @@ def test_tune_task_grid_variants():
     assert {t.direction for t in cross} == {"fwd", "bwd"}
     # MHA tasks carry group=0 (unspecified) so keys match the old schema.
     assert all(t.group == 0 for t in tasks if not (t.gqa or t.mqa))
+
+
+def test_fp16_tune_task_runs_bf16_kernels(monkeypatch):
+    """float16 autotune tasks must not hand f16 arrays to Pallas kernels
+    (Mosaic has no native f16; on hardware every candidate would fail and
+    the sweep would record nothing). The search mirrors the interface's
+    f16->bf16 compute policy and keys the entry float16."""
+    monkeypatch.setenv("FFPA_TPU_AUTOTUNE_MAX_CONFIGS", "1")
+    from ffpa_attn_tpu.autotune.cli import TuneTask, run_task
+
+    entry = run_task(
+        TuneTask("fwd", 320, 256, 256, "float16", False, b=1, h=2), "fast"
+    )
+    assert entry is not None
+    assert entry["key"]["dtype"] == "float16"
+    assert entry["config"]["block_q"] >= 128
