@@ -22,7 +22,7 @@ import json
 import os
 import re
 import tempfile
-from dataclasses import asdict, dataclass
+from dataclasses import MISSING, asdict, dataclass, fields
 from functools import lru_cache
 from pathlib import Path
 from typing import Any, Optional
@@ -192,7 +192,7 @@ def lookup_tuned_config(
             return False
         if bool(k.get("causal")) != causal or bool(k.get("has_bias")) != has_bias:
             return False
-        if bool(k.get("dropout")) != dropout or bool(k.get("gqa")) != gqa:
+        if bool(k.get("dropout")) != dropout:
             return False
         edt = k.get("dtype")
         if edt == dtype:
@@ -223,8 +223,13 @@ def lookup_tuned_config(
         return (
             not (over_q and over_k),  # prefer covering buckets
             abs(sq - nq) + abs(sk - nkv),
-            # Group factor is a soft rank (GQA-4 entries serve MQA queries
-            # and vice versa when nothing closer exists).
+            # Head layout is a soft RANK, never a filter (reference
+            # _persistent_autotune.py:503-527): an MHA-tuned block config is
+            # valid (if suboptimal) for grouped-KV calls, so a GQA query
+            # with no GQA entries must not fall off the store entirely
+            # (the bundled decode corpus is gqa=false; a hard filter sent
+            # every grouped decode to the hard-coded default block).
+            bool(k.get("gqa", False)) != gqa,
             abs(int(k.get("group", 0) or 0) - group),
             not exact_dtype,
         )
@@ -274,11 +279,23 @@ def merge_entries(
     old: list[dict[str, Any]], new: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:
     """Dedup by full variant key; newer entries win (reference
-    autotune.py:808-830)."""
+    autotune.py:808-830).
+
+    Keys are canonicalized through ConfigKey's dataclass defaults before
+    comparison, so entries written under an older schema (e.g. missing the
+    ``group`` field) dedup against a re-tune of the same variant instead of
+    accumulating as shadow duplicates that could win lookup ties.
+    """
+    defaults = {
+        f.name: f.default for f in fields(ConfigKey) if f.default is not MISSING
+    }
+
+    def canon(k: dict[str, Any]) -> str:
+        return json.dumps({**defaults, **k}, sort_keys=True)
+
     by_key: dict[str, dict[str, Any]] = {}
     for e in list(old) + list(new):
-        key = json.dumps(e.get("key", {}), sort_keys=True)
-        by_key[key] = e
+        by_key[canon(e.get("key", {}))] = e
     return list(by_key.values())
 
 

@@ -167,34 +167,38 @@ def time_chained(step_fn, q, *rest, iters: int = 10, warmup: bool = True) -> flo
 
         return once
 
-    def diff_ms(n: int) -> float:
-        short, long_ = make_runner(n), make_runner(3 * n)
+    def diff_ms(short, long_, n: int) -> float:
         ts = min(short(), short())
         tl = min(long_(), long_())
         return max(tl - ts, 2e-3 * n) / (2 * n)
 
-    def diff_median(n: int, reps: int) -> float:
+    def diff_median(short, long_, n: int, reps: int) -> float:
         """Median-of-``reps`` paired two-length diffs. Sub-10 ms kernels sit
         close to the tunnel's per-invocation noise floor, and a single
         (t_3N - t_N) pair has shown 1.01x-1.19x run-to-run spread at ~7 ms
         (docs/bench_v5e_d512_n8192.md footnote); interleaved pairs share
         drift and the median discards outlier invocations."""
-        short, long_ = make_runner(n), make_runner(3 * n)
         diffs = sorted(
             max(long_() - short(), 2e-3 * n) / (2 * n) for _ in range(reps)
         )
         return diffs[len(diffs) // 2]
 
-    est = diff_ms(iters)
+    # Runners compile once per scan length and are REUSED by every timing
+    # pass below — compiles (20-60 s each over the remote tunnel) dominate
+    # per-case cost, so the estimate and the median must share programs.
+    short, long_ = make_runner(iters), make_runner(3 * iters)
+    est = diff_ms(short, long_, iters)
     # If the measured span (2*iters*est) is small vs invocation noise
     # (~few ms), redo at a length where real work dominates.
     n = iters
     if 2 * iters * est < 100.0:
         n = min(max(int(100.0 / max(est, 0.05)), iters), 2048)
+        if n != iters:
+            short, long_ = make_runner(n), make_runner(3 * n)
     if est < 10.0:
-        return diff_median(n, 5)
+        return diff_median(short, long_, n, 5)
     if n != iters:
-        return diff_ms(n)
+        return diff_ms(short, long_, n)
     return est
 
 

@@ -127,7 +127,12 @@ def serve_batch(
     # attention mask; RoPE carries each token's TRUE position
     # (lens[b] + t), so attention math is unaffected by the row remap.
     base = max_seqlen
-    assert base + steps <= max_len, (base, steps, max_len)
+    # Highest row ever written is base + steps - 2 (the scan runs steps-1
+    # iterations; the final sampled token is returned, never cached), so a
+    # cache sized max_len = base + steps - 1 is exactly sufficient. This
+    # guard must stay: dynamic_update_slice clamps out-of-bounds starts and
+    # would silently corrupt row max_len - 1 instead of failing.
+    assert base + steps - 1 <= max_len, (base, steps, max_len)
     cache = init_kv_cache(cfg, batch, max_len)
     logits, cache = prefill_packed(params, packed, cu, max_seqlen, cfg, cache)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
