@@ -144,3 +144,59 @@ def test_continuous_batching_prefill_matches_single():
             np.asarray(lg1[0], np.float32),
             atol=5e-2, rtol=5e-2, err_msg=f"decode logits seq {i}",
         )
+
+
+def test_serve_batch_minimal_cache_bound():
+    """The shared-row cache bound: serve_batch sized at the EXACT bound
+    max_len = base + steps - 1 must run (highest row written is
+    base + steps - 2), anything smaller must assert — because
+    dynamic_update_slice CLAMPS out-of-bounds starts and would silently
+    corrupt the last row instead of failing. The last-step write is checked
+    directly (no argmax-chain comparison: with a random tiny model, token
+    paths flip on sub-1e-2 logit near-ties; logit-level parity between
+    batched and single-stream decode is locked by
+    test_continuous_batching_prefill_matches_single)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from ffpa_attn_tpu.models import (
+        ModelConfig, init_kv_cache, init_params, serve_batch,
+    )
+    from ffpa_attn_tpu.models.serving import _batched_decode_step
+
+    cfg = ModelConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=2,
+        n_kv_heads=1, head_dim=320, max_seq_len=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [
+        jax.random.randint(jax.random.PRNGKey(i + 1), (n,), 0, 128)
+        for i, n in enumerate((130, 70, 41))
+    ]
+    steps = 5
+    base = 130
+    got = serve_batch(params, prompts, steps, cfg, max_len=base + steps - 1)
+    assert got.shape == (3, steps)
+    assert bool(jnp.all((got >= 0) & (got < cfg.vocab_size)))
+    with pytest.raises(AssertionError):
+        serve_batch(params, prompts, steps, cfg, max_len=base + steps - 2)
+
+    # The final scan step (t = steps - 2) writes row base + t == max_len - 1:
+    # prove it lands UNCLAMPED at that row and nowhere else.
+    max_len = base + steps - 1
+    lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    cache = init_kv_cache(cfg, 3, max_len)
+    marker = {li: jnp.array(c["k"]) for li, c in enumerate(cache)}
+    t = jnp.int32(steps - 2)
+    tok = jnp.zeros((3,), jnp.int32)
+    logits, cache = _batched_decode_step(params, cache, lens, t, tok, cfg, base)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    row = max_len - 1
+    k0 = np.asarray(cache[0]["k"], np.float32)
+    assert np.abs(k0[:, :, row]).max() > 0, "last row never written (clamped?)"
+    np.testing.assert_array_equal(
+        k0[:, :, :row], np.asarray(marker[0], np.float32)[:, :, :row],
+        err_msg="decode write touched rows other than base + t",
+    )

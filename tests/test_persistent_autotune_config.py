@@ -226,3 +226,44 @@ def test_fp16_tune_task_runs_bf16_kernels(monkeypatch):
     assert entry is not None
     assert entry["key"]["dtype"] == "float16"
     assert entry["config"]["block_q"] >= 128
+
+
+def test_gqa_is_soft_rank_not_filter(store_dir):
+    """An MHA-tuned entry must serve a GQA query when nothing grouped
+    exists (the bundled decode corpus is gqa=false; a hard filter sent
+    every grouped decode call to the hard-coded default block). When a
+    grouped entry DOES exist, layout match outranks the MHA one."""
+    write_config_file(
+        [make_entry(_key(direction="decode"), BlockConfig(block_kv=1024))],
+        device_kind="FakeTPU v99",
+    )
+    got = _lookup(direction="decode", gqa=True, group=4)
+    assert got is not None and got.block_kv == 1024
+    # Matching layout wins once present.
+    clear_lookup_cache()
+    write_config_file(
+        [make_entry(_key(direction="decode", gqa=True, group=4),
+                    BlockConfig(block_kv=512))],
+        device_kind="FakeTPU v99",
+    )
+    got = _lookup(direction="decode", gqa=True, group=4)
+    assert got is not None and got.block_kv == 512
+    # And the grouped entry does not hijack plain MHA queries.
+    got = _lookup(direction="decode")
+    assert got is not None and got.block_kv == 1024
+
+
+def test_merge_canonicalizes_pre_group_schema(store_dir):
+    """A pre-group-schema entry (no ``group`` field in its key JSON) must
+    dedup against a re-tune of the same variant instead of surviving as a
+    shadow duplicate that could win lookup ties."""
+    old = make_entry(_key(), BlockConfig(block_q=128))
+    del old["key"]["group"]  # simulate round-2 on-disk schema
+    new = make_entry(_key(), BlockConfig(block_q=512), ms=1.0)
+    merged = merge_entries([old], [new])
+    assert len(merged) == 1
+    assert merged[0]["config"]["block_q"] == 512
+    # Order-reversed: the old-schema entry arriving later still replaces.
+    merged = merge_entries([new], [old])
+    assert len(merged) == 1
+    assert merged[0]["config"]["block_q"] == 128
