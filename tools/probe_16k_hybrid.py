@@ -32,9 +32,30 @@ def main():
 
     from ffpa_attn_tpu.cli._bench import time_chained
 
-    # limit -> expected m (per-head S = 512 MiB; reserve 1.5 GiB when
-    # partial). 0 disables residency entirely (pure striped handoff).
-    for limit_gib in (0.0, 2.0, 4.0, 6.0, 8.0, 10.0):
+    # (margin, scores_limit, ds_limit) matrix. Sweeping the scores limit
+    # alone saturates: with the default 4 GiB model margin the headroom
+    # gate binds budget at ~7.2 GiB (residents 4.8 GiB at 16K), so limits
+    # of 8 and 10 GiB produce the SAME m — the margin is the real lever on
+    # resident heads, and the dS limit is the lever on stripe count (fp32
+    # dq-accumulator traffic scales with stripes).
+    cases = [
+        # (margin GiB, scores GiB, ds GiB) — expected m in comment
+        (4.0, 0.0, 5.0),   # production default: pure striped handoff
+        (4.0, 0.0, 7.0),   # handoff with coarser stripes (3 vs 4)
+        (4.0, 4.0, 5.0),   # hybrid m~6
+        (4.0, 8.0, 5.0),   # hybrid m~11 (headroom-bound)
+        (0.0, 8.0, 5.0),   # hybrid m~13 (margin freed)
+        (0.0, 10.0, 5.0),  # hybrid m~17 — OOM risk is data too
+        (0.0, 0.0, 7.0),   # pure handoff, margin freed, coarse stripes
+        (0.0, 6.0, 7.0),   # hybrid + coarse stripes
+    ]
+    for margin_gib, limit_gib, ds_gib in cases:
+        os.environ["FFPA_TPU_HBM_MODEL_MARGIN_BYTES"] = str(
+            int(margin_gib * GIB)
+        )
+        os.environ["FFPA_TPU_DS_HANDOFF_LIMIT_BYTES"] = str(
+            int(ds_gib * GIB)
+        )
         os.environ["FFPA_TPU_SCORES_RESIDUAL_LIMIT_BYTES"] = str(
             int(limit_gib * GIB)
         )
@@ -67,14 +88,14 @@ def main():
         try:
             t = time_chained(step, q, k, v, do, iters=3)
             print(
-                f"limit={limit_gib:4.1f} GiB -> m={m:2d}/32 resident: "
-                f"grad {t:.2f} ms",
+                f"margin={margin_gib:4.1f} scores={limit_gib:4.1f} "
+                f"ds={ds_gib:3.1f} GiB -> m={m:2d}/32: grad {t:.2f} ms",
                 flush=True,
             )
         except Exception as exc:  # OOM at aggressive limits is data too
             print(
-                f"limit={limit_gib:4.1f} GiB -> m={m:2d}/32 resident: "
-                f"FAILED {str(exc)[:160]}",
+                f"margin={margin_gib:4.1f} scores={limit_gib:4.1f} "
+                f"ds={ds_gib:3.1f} GiB -> m={m:2d}/32: FAILED {str(exc)[:160]}",
                 flush=True,
             )
 

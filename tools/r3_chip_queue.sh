@@ -50,8 +50,12 @@ step 5 tune-fp16 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tas
 step 6 tune-decode 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --full-tasks --directions decode --headdims 320 512 1024 --seqlens 4096 8192 16384 --H 32
 
-# 16K hybrid m-sweep: empirical best resident-head count (feeds bench-16k)
-step 7 probe-16k-hybrid 5400 python tools/probe_16k_hybrid.py
+# 16K component breakdown: attribute the 0.85x deficit (dS/dq-acc traffic
+# exposure vs kernel inefficiency) before spending bench time on it
+step 7 probe-16k-breakdown 3600 python tools/probe_16k_breakdown.py
+# 16K hybrid (margin, scores, ds-limit) matrix: empirical best resident-head
+# count + stripe width (feeds bench-16k)
+step 17 probe-16k-hybrid 5400 python tools/probe_16k_hybrid.py
 
 # --- 2. benchmark tables (consume the tuned entries above) ---
 step 8 bench-d512 5400 python -m ffpa_attn_tpu.bench --directions fwd bwd \
