@@ -88,6 +88,7 @@ def bwd_candidates(
     has_bias: bool,
     mode: str = "fast",
     from_scores: bool = False,
+    allow_fp8_ds: bool = True,
 ) -> list[BlockConfig]:
     """Backward candidates: shared (bq, bkv) for dkdv and dq launches.
     ``from_scores`` prunes with the S-resident kernel's VMEM model."""
@@ -100,16 +101,35 @@ def bwd_candidates(
     # on the from-S path, where dropping dK also drops the Q stream —
     # the re-derivation of the reference's M8N1<->M4N2 D>=768 dispatch.
     dk_variants = (True, False) if (from_scores and d >= 640) else (True,)
+    # fp8 dS storage halves the handoff slab's write+read HBM stream — the
+    # scheme's overhead at long sequence, where the slab exceeds the limit
+    # and stripes (~16 GiB bf16 at N=16K). Only proposed where that stream
+    # is big enough to matter, never for fp16 tasks (the 1e-2 contract has
+    # no quantization margin; flash_bwd.py forces bf16 dS there anyway),
+    # and never on the from-S path (its dS aliases the bf16 S residual).
+    # Measured dq cost: ~3% relative vs the fp32 oracle (bf16 dS: ~0.4%),
+    # inside the bf16 5e-2 contract; dK/dV consume the full-precision
+    # in-VMEM dS and are unaffected.
+    ds_variants = (16,)
+    if (
+        allow_fp8_ds
+        and ENV.allow_fp8_ds()  # explicit opt-in (contract-boundary noise)
+        and not from_scores
+        and nq * nkv >= 4096 * 4096
+    ):
+        ds_variants = (16, 8)
     out = []
     for bq in blocks:
         for bkv in blocks:
             for dk_in in dk_variants:
+              for ds_bits in ds_variants:
                 cfg = BlockConfig(
                     block_q_dkdv=bq,
                     block_kv_dkdv=bkv,
                     block_q_dq=bq,
                     block_kv_dq=bkv,
                     dkdv_dk_in_kernel=dk_in,
+                    ds_store_bits=ds_bits,
                 ).clamp(nq, nkv)
                 dkdv_bytes = (
                     bwd_dkdv_from_s_vmem_bytes(cfg, d, dv, itemsize)
@@ -275,6 +295,10 @@ def autotune_backward(
     cands = bwd_candidates(
         d, dv, nq, nkv, itemsize, bias is not None, mode,
         from_scores=use_scores,
+        # fp16 tasks run bf16 kernels here but production forces bf16 dS
+        # for the 1e-2 contract — timing an fp8 candidate would store a
+        # config production can't run.
+        allow_fp8_ds=not was_f16,
     )
 
     fwd = jax.jit(

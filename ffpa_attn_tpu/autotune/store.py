@@ -46,6 +46,7 @@ _CONFIG_FIELDS = (
     "block_q_dq",
     "block_kv_dq",
     "dkdv_dk_in_kernel",
+    "ds_store_bits",
 )
 _BOOL_CONFIG_FIELDS = ("dkdv_dk_in_kernel",)
 

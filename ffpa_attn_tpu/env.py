@@ -115,6 +115,18 @@ class ENV:
         )
 
     @staticmethod
+    def allow_fp8_ds() -> bool:
+        """Opt-in for float8_e4m3fn dS-handoff storage (BlockConfig
+        ds_store_bits=8). Halves the handoff slab's HBM write+read stream
+        (16 GiB bf16 at N=16K self-attn) at a measured dq cost of ~3% RMS /
+        ~5% worst-element relative error vs the fp32 oracle — AT the 5e-2
+        bf16 gradient contract boundary, hence default-off: with the flag
+        unset the backward silently stores bf16 dS and the autotune never
+        proposes fp8 candidates. Experimental speed knob for
+        bandwidth-bound long-sequence backwards."""
+        return _env_bool("FFPA_TPU_ALLOW_FP8_DS", False)
+
+    @staticmethod
     def hbm_bytes() -> int:
         """Total device HBM assumed by the dS-handoff headroom gate
         (v5e: 16 GiB)."""

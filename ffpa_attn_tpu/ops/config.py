@@ -51,8 +51,22 @@ class BlockConfig:
     # materializes dS (the handoff/from-S backward; the plain recompute
     # path forces it back to True).
     dkdv_dk_in_kernel: bool = True
+    # Storage width (bits) of the HANDED-OFF dS slab: 16 = bf16, 8 =
+    # float8_e4m3fn. The handoff's extra HBM traffic is one dS write plus
+    # one dS read per element — at long sequence (N=16K the slab totals
+    # 16 GiB bf16) that stream is the scheme's overhead, and fp8 halves it.
+    # dQ = scale * dS @ K over Nkv quantized terms keeps relative error
+    # ~eps/sqrt(N) (independent roundings), well inside the bf16 5e-2
+    # gradient contract; fp16's 1e-2 contract keeps bf16 dS (the autotune
+    # grid never proposes fp8 for float16 tasks). The from-S residual path
+    # is unaffected (its dS aliases the bf16 S buffer).
+    ds_store_bits: int = 16
 
     def __post_init__(self):
+        if self.ds_store_bits not in (8, 16):
+            raise ValueError(
+                f"ds_store_bits must be 8 or 16, got {self.ds_store_bits}"
+            )
         for name in (
             "block_q",
             "block_kv",
@@ -132,7 +146,7 @@ def bwd_dkdv_vmem_bytes(
     scores = 3 * bq * bkv * 4
     scratch = bkv * ((d if dk_in else 0) + dv) * 4  # dk?, dv accumulators
     bias = 2 * bq * bkv * 4 if has_bias else 0
-    ds_out = 2 * bq * bkv * itemsize if emit_ds else 0
+    ds_out = 2 * bq * bkv * (cfg.ds_store_bits // 8) if emit_ds else 0
     return kv_tiles + q_streams + scores + scratch + bias + ds_out
 
 

@@ -772,7 +772,8 @@ def flash_attention_backward(
     # the precise dV matmul can restore the full f16 mantissa
     # (_dv_accumulate; fp16 1e-2 contract).
     do_lo = None
-    if do.dtype == jnp.float16:
+    f16_cotangent = do.dtype == jnp.float16
+    if f16_cotangent:
         do32 = do.astype(jnp.float32)
         do = do.astype(jnp.bfloat16)
         if precise_pv:
@@ -842,10 +843,23 @@ def flash_attention_backward(
     from ..env import ENV
 
     itemsize = jnp.dtype(q.dtype).itemsize
+    # fp8 dS storage only for the pure-bf16 path WITH the explicit opt-in
+    # (env.py allow_fp8_ds: the ~5% worst-element dq noise sits at the
+    # 5e-2 contract boundary). An fp16 cotangent (the production fp16
+    # route sends bf16 primals + f16 dO) means the 1e-2 contract applies,
+    # which leaves no quantization margin (config.py ds_store_bits).
+    if config.ds_store_bits == 8 and (
+        q.dtype != jnp.bfloat16 or f16_cotangent or not ENV.allow_fp8_ds()
+    ):
+        from dataclasses import replace as _replace_cfg
+
+        config = _replace_cfg(config, ds_store_bits=16)
+    ds_itemsize = config.ds_store_bits // 8
     limit = ENV.ds_handoff_limit_bytes()
     bq_h, bkv_h0 = config.block_q_dkdv, config.block_kv_dkdv
     ds_bytes = (
-        b * hq * cdiv(nq, bq_h) * bq_h * cdiv(nkv, bkv_h0) * bkv_h0 * itemsize
+        b * hq * cdiv(nq, bq_h) * bq_h
+        * cdiv(nkv, bkv_h0) * bkv_h0 * ds_itemsize
     )
     if ds_handoff is None:
         # Auto gate: the largest live slab (one stripe, <= limit) must also
@@ -1067,6 +1081,8 @@ def _banded_dq_kernel(
     def _compute():
         ds = ds_ref[0, 0]
         k = k_ref[0, 0]
+        if ds.dtype == jnp.float8_e4m3fn:
+            ds = ds.astype(k.dtype)  # fp8-stored slab; MXU wants bf16
         dq_scr[...] += jnp.float32(scale) * lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1290,6 +1306,10 @@ def _dq_from_ds(ds_full, k, bias, *, scale, group, nq, nkv, dq_dtype):
     b, hq = ds_full.shape[:2]
     hkv = k.shape[1]
     ds_c = ds_full[:, :, :nq, :nkv]
+    if ds_c.dtype == jnp.float8_e4m3fn:
+        # fp8-stored handoff slab: upcast feeds the dot as an operand
+        # fusion (the HBM stream stays 1 byte/element).
+        ds_c = ds_c.astype(k.dtype)
     if group > 1:
         ds_g = ds_c.reshape(b, hkv, group, nq, nkv)
         dq = jnp.einsum(
@@ -1430,8 +1450,11 @@ def _dkdv_launch(
     if emit_ds:
         ds_map = lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j)
         out_specs.append(pl.BlockSpec((1, 1, bq, bkv), ds_map))
+        ds_dtype = (
+            jnp.float8_e4m3fn if config.ds_store_bits == 8 else q.dtype
+        )
         out_shape.append(
-            jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), q.dtype)
+            jax.ShapeDtypeStruct((b, hq, nq_pad, nkv_pad), ds_dtype)
         )
     result = pl.pallas_call(
         dkdv_kernel,

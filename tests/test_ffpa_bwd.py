@@ -593,3 +593,126 @@ def test_bwd_float16_contract(shape, causal, gqa):
             np.asarray(g, np.float32), np.asarray(r, np.float32),
             atol=1e-2, rtol=1e-2, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_ds_handoff_fp8_storage(causal, monkeypatch):
+    """fp8 (e4m3) dS storage (opt-in, env.py allow_fp8_ds): dk/dv are
+    BIT-identical to the bf16-dS run (both consume the full-precision
+    in-VMEM dS); dq carries the stored slab's quantization noise — ~3% RMS,
+    ~5% at the worst element (the reason the knob is opt-in: that max sits
+    AT the public 5e-2 contract). fp16 cotangents silently keep bf16 dS
+    (no margin under the 1e-2 contract), as does an unset flag."""
+    from dataclasses import replace
+
+    monkeypatch.setenv("FFPA_TPU_ALLOW_FP8_DS", "1")
+    from ffpa_attn_tpu.ops.config import BlockConfig
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    b, h, nq, nkv, d = 1, 2, 384, 512, 320
+    q, k, v, do = _make(b, h, h, nq, nkv, d, dtype)
+    scale = 1.0 / np.sqrt(d)
+    cfg16 = BlockConfig()
+    cfg8 = replace(cfg16, ds_store_bits=8)
+    o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=causal)
+
+    r16 = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        ds_handoff=True, config=cfg16,
+    )
+    r8 = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=causal,
+        ds_handoff=True, config=cfg8,
+    )
+    for name, a, bb in zip(("dk", "dv"), r16[1:3], r8[1:3]):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            err_msg=name,
+        )
+    # dq: quantization noise only — ~3% RMS, bounded worst element.
+    g8 = np.asarray(r8[0], np.float32)
+    g16 = np.asarray(r16[0], np.float32)
+    rms_rel = float(
+        np.sqrt(np.mean((g8 - g16) ** 2)) / (np.sqrt(np.mean(g16**2)) + 1e-9)
+    )
+    assert rms_rel < 4e-2, ("dq fp8 RMS noise", rms_rel)
+    _assert_rel_close(r8[0], r16[0], "dq fp8-vs-bf16 worst", tol=8e-2)
+
+    def f32_loss(q_, k_, v_):
+        out = reference_attention(
+            q_.astype(jnp.float32), k_.astype(jnp.float32),
+            v_.astype(jnp.float32), None, is_causal=causal, scale=scale,
+        )
+        return (out * do.astype(jnp.float32)).sum()
+
+    gq = jax.grad(f32_loss)(q, k, v)
+    _assert_rel_close(r8[0], gq, "dq fp8-vs-oracle", tol=8e-2)
+
+    # The production fp16 route (bf16 primals + f16 cotangent): the fp8
+    # request must be silently ignored — dq matches the bf16-dS run on the
+    # same rounded cotangent bit-for-bit.
+    doh = do.astype(jnp.float16)
+    rf8 = flash_attention_backward(
+        q, k, v, None, o, lse, doh,
+        scale=scale, is_causal=causal, ds_handoff=True, config=cfg8,
+    )
+    rf = flash_attention_backward(
+        q, k, v, None, o, lse, doh,
+        scale=scale, is_causal=causal, ds_handoff=True, config=cfg16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rf8[0], np.float32), np.asarray(rf[0], np.float32),
+        err_msg="fp16 cotangent must force bf16 dS",
+    )
+
+
+def test_bwd_candidates_fp8_gating(monkeypatch):
+    """fp8 dS variants appear only for big-N bf16 handoff tasks under the
+    explicit env opt-in: never by default, never on the from-S path, never
+    when the caller marks the task fp16, never at small N (the dS stream
+    is not the bottleneck there)."""
+    from ffpa_attn_tpu.autotune.search import bwd_candidates
+
+    default = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast")
+    assert all(c.ds_store_bits == 16 for c in default)
+
+    monkeypatch.setenv("FFPA_TPU_ALLOW_FP8_DS", "1")
+    big = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast")
+    assert any(c.ds_store_bits == 8 for c in big)
+    assert any(c.ds_store_bits == 16 for c in big)
+    small = bwd_candidates(512, 512, 1024, 1024, 2, False, "fast")
+    assert all(c.ds_store_bits == 16 for c in small)
+    f16 = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast", allow_fp8_ds=False)
+    assert all(c.ds_store_bits == 16 for c in f16)
+    froms = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast", from_scores=True)
+    assert all(c.ds_store_bits == 16 for c in froms)
+
+
+def test_bwd_fp8_ds_ignored_without_optin():
+    """With FFPA_TPU_ALLOW_FP8_DS unset, a ds_store_bits=8 config must
+    behave exactly like bf16 dS (the contract stays intact by default)."""
+    from dataclasses import replace
+
+    from ffpa_attn_tpu.ops.config import BlockConfig
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    dtype = jnp.bfloat16
+    q, k, v, do = _make(1, 2, 2, 256, 384, 320, dtype)
+    scale = 1.0 / np.sqrt(320)
+    o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=False)
+    r8 = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=False,
+        ds_handoff=True, config=replace(BlockConfig(), ds_store_bits=8),
+    )
+    r16 = flash_attention_backward(
+        q, k, v, None, o, lse, do, scale=scale, is_causal=False,
+        ds_handoff=True, config=BlockConfig(),
+    )
+    for name, a, bb in zip(("dq", "dk", "dv"), r8[:3], r16[:3]):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            err_msg=name,
+        )

@@ -137,6 +137,34 @@ def main():
     except Exception as exc:
         print(f"xla_grad        FAILED {str(exc)[:140]}", flush=True)
 
+    # --- fp8 dS storage A/B (opt-in knob, env.md FFPA_TPU_ALLOW_FP8_DS):
+    # halves the handoff slab's write+read stream. Compile failure here
+    # means Mosaic/v5e rejects fp8 stores — that is the answer too.
+    os.environ["FFPA_TPU_ALLOW_FP8_DS"] = "1"
+    from dataclasses import replace
+    from ffpa_attn_tpu.ops.dispatch import pick_backward_config
+
+    cfg8 = replace(
+        pick_backward_config(
+            d=d, dv=d, nq=n, nkv=n, dtype=q.dtype,
+            causal=False, has_bias=False, dropout=False, gqa=False, group=0,
+        ),
+        ds_store_bits=8,
+    )
+
+    def bwd_fp8(q_, k_, v_, o_, lse_, do_):
+        dq, dk, dv_, _ = flash_attention_backward(
+            q_, k_, v_, None, o_, lse_, do_,
+            scale=scale, is_causal=False, ds_handoff=True, config=cfg8,
+        )
+        return dq, jnp.sum(dk.astype(jnp.float32)) + jnp.sum(dv_.astype(jnp.float32))
+
+    try:
+        t = tc(bwd_fp8, q, k, v, o, lse, do)
+        print(f"bwd_handoff_fp8 {t:8.2f} ms", flush=True)
+    except Exception as exc:
+        print(f"bwd_handoff_fp8 FAILED {str(exc)[:140]}", flush=True)
+
 
 if __name__ == "__main__":
     main()

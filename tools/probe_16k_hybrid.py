@@ -39,17 +39,22 @@ def main():
     # resident heads, and the dS limit is the lever on stripe count (fp32
     # dq-accumulator traffic scales with stripes).
     cases = [
-        # (margin GiB, scores GiB, ds GiB) — expected m in comment
-        (4.0, 0.0, 5.0),   # production default: pure striped handoff
-        (4.0, 0.0, 7.0),   # handoff with coarser stripes (3 vs 4)
-        (4.0, 4.0, 5.0),   # hybrid m~6
-        (4.0, 8.0, 5.0),   # hybrid m~11 (headroom-bound)
-        (0.0, 8.0, 5.0),   # hybrid m~13 (margin freed)
-        (0.0, 10.0, 5.0),  # hybrid m~17 — OOM risk is data too
-        (0.0, 0.0, 7.0),   # pure handoff, margin freed, coarse stripes
-        (0.0, 6.0, 7.0),   # hybrid + coarse stripes
+        # (margin GiB, scores GiB, ds GiB, causal) — expected m in comment
+        (4.0, 0.0, 5.0, False),   # production default: pure striped handoff
+        (4.0, 0.0, 7.0, False),   # handoff with coarser stripes (3 vs 4)
+        (4.0, 4.0, 5.0, False),   # hybrid m~6
+        (4.0, 8.0, 5.0, False),   # hybrid m~11 (headroom-bound)
+        (0.0, 8.0, 5.0, False),   # hybrid m~13 (margin freed)
+        (0.0, 10.0, 5.0, False),  # hybrid m~17 — OOM risk is data too
+        (0.0, 0.0, 7.0, False),   # pure handoff, margin freed, coarse stripes
+        (0.0, 6.0, 7.0, False),   # hybrid + coarse stripes
+        # causal (the 1.41x row; VERDICT asks >= 1.5x): default vs the two
+        # most promising levers above
+        (4.0, 0.0, 5.0, True),
+        (0.0, 8.0, 5.0, True),
+        (0.0, 6.0, 7.0, True),
     ]
-    for margin_gib, limit_gib, ds_gib in cases:
+    for margin_gib, limit_gib, ds_gib, causal in cases:
         os.environ["FFPA_TPU_HBM_MODEL_MARGIN_BYTES"] = str(
             int(margin_gib * GIB)
         )
@@ -65,7 +70,7 @@ def main():
         class _S:
             backward_is_sdpa = False
             save_scores = None
-            is_causal = False
+            is_causal = causal
             dropout_p = 0.0
             fwd_config = None
 
@@ -74,7 +79,8 @@ def main():
         def step(q_, k_, v_, do_):
             def loss(q2, k2, v2):
                 return (
-                    ffpa_attn_func(q2, k2, v2).astype(jnp.float32)
+                    ffpa_attn_func(q2, k2, v2, is_causal=causal)
+                    .astype(jnp.float32)
                     * do_.astype(jnp.float32)
                 ).sum()
 
@@ -89,13 +95,15 @@ def main():
             t = time_chained(step, q, k, v, do, iters=3)
             print(
                 f"margin={margin_gib:4.1f} scores={limit_gib:4.1f} "
-                f"ds={ds_gib:3.1f} GiB -> m={m:2d}/32: grad {t:.2f} ms",
+                f"ds={ds_gib:3.1f} causal={int(causal)} -> m={m:2d}/32: "
+                f"grad {t:.2f} ms",
                 flush=True,
             )
         except Exception as exc:  # OOM at aggressive limits is data too
             print(
                 f"margin={margin_gib:4.1f} scores={limit_gib:4.1f} "
-                f"ds={ds_gib:3.1f} GiB -> m={m:2d}/32: FAILED {str(exc)[:160]}",
+                f"ds={ds_gib:3.1f} causal={int(causal)} -> m={m:2d}/32: "
+                f"FAILED {str(exc)[:160]}",
                 flush=True,
             )
 
