@@ -7,10 +7,49 @@ vs_baseline = speedup over the XLA-compiled fp32-accumulated SDPA composite.
 """
 
 import json
+import os
+import subprocess
 import sys
 
 
+def _chip_reachable(deadline_s: int = 300) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout: a downed
+    axon tunnel hangs inside a C call (SIGALRM never fires), which would
+    otherwise leave the driver with no JSON line at all."""
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; x = jnp.ones((256, 256),"
+                " jnp.bfloat16); (x @ x).block_until_ready()",
+            ],
+            check=True,
+            timeout=deadline_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            env=os.environ,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main() -> int:
+    if not _chip_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "ffpa_fwd_tflops_d512_n8192_bf16",
+                    "value": 0.0,
+                    "unit": "TFLOPS",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator unreachable (probe timed out)",
+                }
+            )
+        )
+        return 1
+
     import jax.numpy as jnp
 
     from ffpa_attn_tpu.cli._bench import make_case, run_case
