@@ -174,3 +174,41 @@ def test_on_device_fp16(tpu):
             np.asarray(g, np.float32), np.asarray(w, np.float32),
             atol=1e-2, rtol=1e-2, err_msg=name,
         )
+
+
+def test_fp8_ds_handoff_on_device(tpu, monkeypatch):
+    """Mosaic gate for the opt-in fp8 dS path: the dkdv kernel must store a
+    float8_e4m3fn output block and the dq einsum/banded kernel must consume
+    it on real hardware (interpret mode cannot prove Mosaic supports the
+    fp8 store/cast on this chip generation). dk/dv stay bit-identical to
+    the bf16-dS run; dq carries only quantization noise."""
+    from dataclasses import replace
+
+    monkeypatch.setenv("FFPA_TPU_ALLOW_FP8_DS", "1")
+    from ffpa_attn_tpu.ops.config import BlockConfig
+    from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward
+    from ffpa_attn_tpu.ops.flash_fwd import flash_attention_forward
+
+    q, k, v, do = _make(1, 2, 2, 1024, 2048, 512)
+    scale = 512**-0.5
+    o, lse = flash_attention_forward(q, k, v, None, scale=scale, is_causal=False)
+
+    def run(bits):
+        cfg = replace(BlockConfig(), ds_store_bits=bits)
+        f = jax.jit(
+            lambda q_, k_, v_, o_, lse_, do_: flash_attention_backward(
+                q_, k_, v_, None, o_, lse_, do_, scale=scale,
+                is_causal=False, ds_handoff=True, config=cfg,
+            )[:3]
+        )
+        return jax.block_until_ready(f(q, k, v, o, lse, do))
+
+    r16 = run(16)
+    r8 = run(8)
+    for name, a, b in zip(("dk", "dv"), r16[1:], r8[1:]):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=name,
+        )
+    assert _rel(r8[0], r16[0]) < 8e-2, "dq fp8 noise beyond rail"
+    assert _rel(r8[0], r16[0]) > 0, "fp8 run suspiciously identical"

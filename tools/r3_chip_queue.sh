@@ -33,6 +33,7 @@ step() {
 # --- 0. sanity: chip reachable + public surface on real TPU ---
 step 0 chip-sanity 300 python -c "import jax; print(jax.devices()); import jax.numpy as jnp; x=jnp.ones((256,256),jnp.bfloat16); print((x@x).block_until_ready().dtype)"
 step 1 verify-surface 2400 python tools/verify_surface.py
+step 18 device-tests 3600 env FFPA_TPU_RUN_DEVICE_TESTS=1 python -m pytest tests/test_on_device.py -x -q
 
 # --- 1. autotune: the VERDICT-ask shapes (max mode, isolated tasks) ---
 # 16K backward (ask #1), D>=640 backward incl. accumulator-split A/B (#2)
