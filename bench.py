@@ -36,7 +36,11 @@ def _chip_reachable(deadline_s: int = 300) -> bool:
 
 
 def main() -> int:
-    if not _chip_reachable():
+    # The probe costs one extra interpreter + tunnel init (~tens of
+    # seconds); callers that just proved reachability (the campaign's
+    # chip-sanity step) skip it.
+    skip = os.environ.get("FFPA_TPU_BENCH_SKIP_PREFLIGHT") == "1"
+    if not skip and not _chip_reachable():
         print(
             json.dumps(
                 {

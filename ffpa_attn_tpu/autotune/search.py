@@ -115,6 +115,7 @@ def bwd_candidates(
         allow_fp8_ds
         and ENV.allow_fp8_ds()  # explicit opt-in (contract-boundary noise)
         and not from_scores
+        and not has_bias  # dbias sums the stored slab — no fp8 there
         and nq * nkv >= 4096 * 4096
     ):
         ds_variants = (16, 8)

@@ -55,11 +55,14 @@ class BlockConfig:
     # float8_e4m3fn. The handoff's extra HBM traffic is one dS write plus
     # one dS read per element — at long sequence (N=16K the slab totals
     # 16 GiB bf16) that stream is the scheme's overhead, and fp8 halves it.
-    # dQ = scale * dS @ K over Nkv quantized terms keeps relative error
-    # ~eps/sqrt(N) (independent roundings), well inside the bf16 5e-2
-    # gradient contract; fp16's 1e-2 contract keeps bf16 dS (the autotune
-    # grid never proposes fp8 for float16 tasks). The from-S residual path
-    # is unaffected (its dS aliases the bf16 S buffer).
+    # Cost (measured vs the fp32 oracle): dq picks up ~3% RMS / ~5%
+    # worst-element relative noise — per-element roundings do NOT average
+    # out in a random-sign dot product, so the worst element sits AT the
+    # public 5e-2 bf16 contract. Hence the FFPA_TPU_ALLOW_FP8_DS opt-in
+    # (env.py); without it the backward silently forces 16. Never honored
+    # for fp16 cotangents (1e-2 contract) or biased calls (dbias sums the
+    # stored slab); the from-S residual path is unaffected (its dS aliases
+    # the bf16 S buffer).
     ds_store_bits: int = 16
 
     def __post_init__(self):

@@ -843,13 +843,18 @@ def flash_attention_backward(
     from ..env import ENV
 
     itemsize = jnp.dtype(q.dtype).itemsize
-    # fp8 dS storage only for the pure-bf16 path WITH the explicit opt-in
-    # (env.py allow_fp8_ds: the ~5% worst-element dq noise sits at the
-    # 5e-2 contract boundary). An fp16 cotangent (the production fp16
-    # route sends bf16 primals + f16 dO) means the 1e-2 contract applies,
-    # which leaves no quantization margin (config.py ds_store_bits).
+    # fp8 dS storage only for the pure-bf16 BIAS-FREE path WITH the
+    # explicit opt-in (env.py allow_fp8_ds: the ~5% worst-element dq noise
+    # sits at the 5e-2 contract boundary). An fp16 cotangent (the
+    # production fp16 route sends bf16 primals + f16 dO) means the 1e-2
+    # contract applies, which leaves no quantization margin; a bias means
+    # dbias is summed straight off the stored slab (_dbias_from_ds) and
+    # would inherit the noise the docs promise lands on dQ only.
     if config.ds_store_bits == 8 and (
-        q.dtype != jnp.bfloat16 or f16_cotangent or not ENV.allow_fp8_ds()
+        q.dtype != jnp.bfloat16
+        or f16_cotangent
+        or bias is not None
+        or not ENV.allow_fp8_ds()
     ):
         from dataclasses import replace as _replace_cfg
 

@@ -675,6 +675,7 @@ def test_bwd_candidates_fp8_gating(monkeypatch):
     is not the bottleneck there)."""
     from ffpa_attn_tpu.autotune.search import bwd_candidates
 
+    monkeypatch.delenv("FFPA_TPU_ALLOW_FP8_DS", raising=False)
     default = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast")
     assert all(c.ds_store_bits == 16 for c in default)
 
@@ -688,12 +689,17 @@ def test_bwd_candidates_fp8_gating(monkeypatch):
     assert all(c.ds_store_bits == 16 for c in f16)
     froms = bwd_candidates(512, 512, 8192, 8192, 2, False, "fast", from_scores=True)
     assert all(c.ds_store_bits == 16 for c in froms)
+    # Biased tasks: dbias sums the stored slab, so fp8 never enters.
+    biased = bwd_candidates(512, 512, 8192, 8192, 2, True, "fast")
+    assert all(c.ds_store_bits == 16 for c in biased)
 
 
-def test_bwd_fp8_ds_ignored_without_optin():
+def test_bwd_fp8_ds_ignored_without_optin(monkeypatch):
     """With FFPA_TPU_ALLOW_FP8_DS unset, a ds_store_bits=8 config must
     behave exactly like bf16 dS (the contract stays intact by default)."""
     from dataclasses import replace
+
+    monkeypatch.delenv("FFPA_TPU_ALLOW_FP8_DS", raising=False)
 
     from ffpa_attn_tpu.ops.config import BlockConfig
     from ffpa_attn_tpu.ops.flash_bwd import flash_attention_backward

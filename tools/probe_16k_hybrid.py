@@ -40,7 +40,10 @@ def main():
     # dq-accumulator traffic scales with stripes).
     cases = [
         # (margin GiB, scores GiB, ds GiB, causal) — expected m in comment
-        (4.0, 0.0, 5.0, False),   # production default: pure striped handoff
+        # NOTE: production DEFAULT at 16K is (margin 4, scores 8, ds 5)
+        # (the hybrid m~11 row below); (4, 0, 5) is the handoff-ONLY
+        # baseline with residency forced off.
+        (4.0, 0.0, 5.0, False),   # handoff-only baseline (scores off)
         (4.0, 0.0, 7.0, False),   # handoff with coarser stripes (3 vs 4)
         (4.0, 4.0, 5.0, False),   # hybrid m~6
         (4.0, 8.0, 5.0, False),   # hybrid m~11 (headroom-bound)

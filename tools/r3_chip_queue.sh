@@ -33,58 +33,58 @@ step() {
 # --- 0. sanity: chip reachable + public surface on real TPU ---
 step 0 chip-sanity 300 python -c "import jax; print(jax.devices()); import jax.numpy as jnp; x=jnp.ones((256,256),jnp.bfloat16); print((x@x).block_until_ready().dtype)"
 step 1 verify-surface 2400 python tools/verify_surface.py
-step 18 device-tests 3600 env FFPA_TPU_RUN_DEVICE_TESTS=1 python -m pytest tests/test_on_device.py -x -q
+step 2 device-tests 3600 env FFPA_TPU_RUN_DEVICE_TESTS=1 python -m pytest tests/test_on_device.py -x -q
 
 # --- 1. autotune: the VERDICT-ask shapes (max mode, isolated tasks) ---
 # 16K backward (ask #1), D>=640 backward incl. accumulator-split A/B (#2)
-step 2 tune-16k-bwd 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 3 tune-16k-bwd 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --directions bwd --headdims 512 --seqlens 16384 --H 32
-step 3 tune-bigD-bwd 7200 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 4 tune-bigD-bwd 7200 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --directions bwd --headdims 640 768 1024 --seqlens 4096 8192 --H 32
 # cross-attn short-Nq (ask #3)
-step 4 tune-cross 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 5 tune-cross 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --cross-tasks --directions fwd bwd --headdims 512 1024 --seqlens 8192 --H 32
 # fp16 lane (ask #4)
-step 5 tune-fp16 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 6 tune-fp16 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --dtypes float16 --directions fwd bwd --headdims 512 --seqlens 4096 8192 --H 32
 # decode + decode-gqa + mqa variants (ask #5, #7)
-step 6 tune-decode 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 7 tune-decode 3600 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --full-tasks --directions decode --headdims 320 512 1024 --seqlens 4096 8192 16384 --H 32
 
 # 16K component breakdown: attribute the 0.85x deficit (dS/dq-acc traffic
 # exposure vs kernel inefficiency) before spending bench time on it
-step 7 probe-16k-breakdown 3600 python tools/probe_16k_breakdown.py
+step 8 probe-16k-breakdown 3600 python tools/probe_16k_breakdown.py
 # 16K hybrid (margin, scores, ds-limit) matrix: empirical best resident-head
 # count + stripe width (feeds bench-16k)
-step 17 probe-16k-hybrid 5400 python tools/probe_16k_hybrid.py
+step 9 probe-16k-hybrid 5400 python tools/probe_16k_hybrid.py
 
 # --- 2. benchmark tables (consume the tuned entries above) ---
-step 8 bench-d512 5400 python -m ffpa_attn_tpu.bench --directions fwd bwd \
+step 10 bench-d512 5400 python -m ffpa_attn_tpu.bench --directions fwd bwd \
   --output docs/bench_v5e_d512_n8192.md --plot docs/ffpa_TPU_v5_lite_speedup.png
-step 9 bench-f16 5400 python -m ffpa_attn_tpu.bench --dtypes float16 --directions fwd bwd \
+step 11 bench-f16 5400 python -m ffpa_attn_tpu.bench --dtypes float16 --directions fwd bwd \
   --output docs/bench_v5e_d512_n8192_f16.md
-step 10 bench-16k 4200 python -m ffpa_attn_tpu.bench --N 16384 \
+step 12 bench-16k 4200 python -m ffpa_attn_tpu.bench --N 16384 \
   --cases self-attn causal gqa --directions fwd bwd \
   --output docs/bench_v5e_n16384.md --plot docs/ffpa_TPU_v5_lite_n16384.png
-step 11 bench-multiD 7200 python -m ffpa_attn_tpu.bench --D 320 640 768 1024 \
+step 13 bench-multiD 7200 python -m ffpa_attn_tpu.bench --D 320 640 768 1024 \
   --cases self-attn causal --directions fwd bwd \
   --output docs/bench_v5e_multiD.md --plot docs/ffpa_TPU_v5_lite_multiD.png
 
 # --- 3. e2e serving (batched-decode shared-row rewrite, ask #6) ---
-step 12 bench-e2e 3600 python -m ffpa_attn_tpu.bench --e2e
+step 14 bench-e2e 3600 python -m ffpa_attn_tpu.bench --e2e
 
 # --- 4. corpus breadth fill (ask #7: >=200 entries) ---
-step 13 tune-n2048 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 15 tune-n2048 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions fwd bwd --headdims 320 512 640 768 1024 --seqlens 2048 --H 32
-step 14 tune-varlen 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 16 tune-varlen 3600 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions varlen --headdims 320 512 640 768 1024 --seqlens 4096 8192 --H 8
-step 15 tune-variants 7200 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
+step 17 tune-variants 7200 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --full-tasks --directions fwd bwd --headdims 512 --seqlens 2048 4096 16384 --H 32
-step 16 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
+step 18 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-tasks \
   --directions fwd --headdims 640 768 --seqlens 4096 8192 16384 --H 32
 
 # --- 5. stored-vs-fresh quality gate + driver contract ---
-step 17 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
-step 18 bench-driver 1800 python bench.py
+step 19 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
+step 20 bench-driver 1800 env FFPA_TPU_BENCH_SKIP_PREFLIGHT=1 python bench.py
 
 echo "== campaign complete $(date +%H:%M:%S)"
