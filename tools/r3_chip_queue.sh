@@ -84,7 +84,8 @@ step 18 tune-fwd-max 5400 python -m ffpa_attn_tpu.autotune --mode max --isolate-
   --directions fwd --headdims 640 768 --seqlens 4096 8192 16384 --H 32
 
 # --- 5. stored-vs-fresh quality gate + driver contract ---
-step 19 verify-store 3600 python -m ffpa_attn_tpu.autotune.verify
+step 19 verify-store 5400 python -m ffpa_attn_tpu.autotune.verify \
+  --headdims 512 1024 --seqlens 8192 --directions fwd bwd
 step 20 bench-driver 1800 env FFPA_TPU_BENCH_SKIP_PREFLIGHT=1 python bench.py
 
 echo "== campaign complete $(date +%H:%M:%S)"
