@@ -22,6 +22,7 @@ from .interface import (
     patch_dot_product_attention,
     unpatch_dot_product_attention,
 )
+from .ops.paged import PagedKVCache, append_token, paged_decode_attention
 from .version import __version__
 
 __all__ = [
@@ -33,5 +34,8 @@ __all__ = [
     "SDPABackend",
     "PallasBackend",
     "FFPAAttnMeta",
+    "PagedKVCache",
+    "append_token",
+    "paged_decode_attention",
     "__version__",
 ]

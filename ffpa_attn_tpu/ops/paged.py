@@ -1,0 +1,288 @@
+"""Paged decode attention: page-gathered KV streaming for serving.
+
+Beyond the reference (its serving story ends at dense contiguous caches):
+the production TPU serving stack (vLLM-style continuous batching) stores
+KV in fixed-size PAGES owned by a global pool, with a per-sequence page
+table — appending a sequence never reallocates or compacts, and mixed
+prompt lengths waste at most one page per sequence instead of
+``max_len - len`` rows.
+
+TPU-native design:
+
+* pages live as ``[num_pages, Hkv, page_size, Dh]`` so one grid cell's K/V
+  block is ``(1, 1, page_size, Dh)`` — the natural (sublane, lane) tile;
+* the page walk is the BlockSpec index map: grid ``(B, Hkv, max_pages)``
+  where step ``j`` maps the K/V block to ``table[b * max_pages + j]``.
+  The table rides in SMEM via scalar prefetch, FLATTENED to 1-D — the
+  per-row 1-D lookup is the scalar-prefetch pattern that is stable on v5e
+  (2-D prefetch indexing flakes; see docs/env.md);
+* steps past a sequence's last page CLAMP the page index to the last valid
+  page (Mosaic elides the repeated DMA) and mask their contribution, so
+  ragged batches cost bandwidth proportional to ``lens[b]``, not
+  ``max(lens)`` — same trick as the causal KV clamp in flash_fwd.py;
+* PackGQA row packing (ops/decode.py): the whole GQA group rides one Q
+  tile, K/V stream once per KV head;
+* fp32 online softmax in VMEM scratch, outputs written once in the
+  epilogue (output index constant over the page axis — the safe Mosaic
+  revisit pattern).
+
+The dense decode kernel (ops/decode.py) remains the fast path for
+contiguous caches; this kernel is the serving-pool variant. Integration
+point for models/serving.py: replace ``init_kv_cache`` + shared-row writes
+with ``PagedKVCache.alloc`` + ``append_token``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import LANE, cdiv
+from .flash_fwd import _pad_dim, use_interpret
+from .reference import DEFAULT_MASK_VALUE
+
+_Q_TILE = 16  # minimum bf16 sublane tile (matches ops/decode.py)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PagedKVCache:
+    """Global page pool + per-sequence page tables.
+
+    ``k_pages``/``v_pages``: [num_pages, Hkv, page_size, Dh]. Page 0 is a
+    reserved null page (tables are zero-initialized, so unused table slots
+    point at a real — masked — page and the kernel never reads out of
+    bounds).
+    ``page_table``: [B, max_pages] int32 global page ids.
+    ``lens``: [B] int32 tokens currently stored per sequence.
+    """
+
+    k_pages: jnp.ndarray
+    v_pages: jnp.ndarray
+    page_table: jnp.ndarray
+    lens: jnp.ndarray
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @staticmethod
+    def alloc(
+        batch: int,
+        max_len: int,
+        n_kv_heads: int,
+        head_dim: int,
+        page_size: int = 128,
+        dtype=jnp.bfloat16,
+        extra_pages: int = 0,
+    ) -> "PagedKVCache":
+        """Pool sized for ``batch`` sequences of up to ``max_len`` tokens,
+        pages pre-assigned contiguously per sequence (page 0 reserved).
+
+        A real serving scheduler would hand out pages on demand; the
+        pre-assignment keeps this structure jit-static while exercising the
+        exact same kernel indirection.
+        """
+        max_pages = cdiv(max_len, page_size)
+        num_pages = 1 + batch * max_pages + extra_pages
+        shape = (num_pages, n_kv_heads, page_size, head_dim)
+        table = (
+            1
+            + jnp.arange(batch * max_pages, dtype=jnp.int32).reshape(
+                batch, max_pages
+            )
+        )
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            page_table=table,
+            lens=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def append_token(cache: PagedKVCache, k_new, v_new) -> PagedKVCache:
+    """Append one token's K/V per sequence: ``k_new``/``v_new`` are
+    [B, Hkv, 1, Dh]. Returns the updated cache (functional)."""
+    b = k_new.shape[0]
+    page = cache.page_size
+    pos = cache.lens  # [B]
+    page_ids = jax.vmap(lambda t, p: t[p // page])(cache.page_table, pos)
+    rows = pos % page
+
+    def write(pages, new):
+        # One dynamic_update_slice per sequence via vmap-of-gather is a
+        # scatter; B is small (serving batch), so a fori over B with
+        # dynamic_update_slice keeps it a handful of contiguous-row DMAs.
+        def body(i, pg):
+            upd = new[i].astype(pg.dtype)[:, None, :]  # [Hkv, 1, Dh]
+            return lax.dynamic_update_slice(
+                pg, upd[None], (page_ids[i], 0, rows[i], 0)
+            )
+
+        return lax.fori_loop(0, b, body, pages)
+
+    return PagedKVCache(
+        k_pages=write(cache.k_pages, k_new[:, :, 0]),
+        v_pages=write(cache.v_pages, v_new[:, :, 0]),
+        page_table=cache.page_table,
+        lens=cache.lens + 1,
+    )
+
+
+def _paged_decode_kernel(
+    table_ref,  # SMEM [B * max_pages] int32 (scalar prefetch)
+    lens_ref,  # SMEM [B] int32 (scalar prefetch)
+    q_ref,  # (1, 1, bq, D)
+    k_ref,  # (1, 1, page, D)
+    v_ref,  # (1, 1, page, Dv)
+    o_ref,  # (1, 1, bq, Dv) out
+    lse_ref,  # (1, 1, bq, LANE) f32 out
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale,
+    max_pages,
+    nq,
+):
+    b_idx = pl.program_id(0)
+    j = pl.program_id(2)
+    bq = q_ref.shape[2]
+    page = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    n_valid = lens_ref[b_idx]
+    should_run = j * page < n_valid
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        # Ragged tail: global column = j*page + col; decode attends all
+        # cached positions < lens[b] (the new token is appended before the
+        # call, giving standard causal decode semantics).
+        cols = lax.broadcasted_iota(jnp.int32, (bq, page), 1) + j * page
+        s = jnp.where(cols < n_valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_tile = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]
+        pv = lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(j == max_pages - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-38))
+
+
+def paged_decode_attention(
+    q,
+    cache: PagedKVCache,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Decode attention over a paged KV cache.
+
+    ``q``: [B, Hq, 1, D] (the CURRENT token's query; its K/V must already
+    be appended via ``append_token``, so it attends positions
+    ``[0, lens[b])`` including itself). GQA inferred from Hq vs the pool's
+    Hkv. Returns [B, Hq, 1, Dv].
+    """
+    b, hq, nq, d = q.shape
+    assert nq == 1, "paged decode is a single-token kernel"
+    num_pages, hkv, page, dv_dim = cache.k_pages.shape
+    group = hq // hkv
+    if scale is None:
+        scale = d ** -0.5
+    max_pages = cache.page_table.shape[1]
+
+    # PackGQA rows: row r of the tile is q-head hk*group + r (nq == 1).
+    rows = group
+    bq = cdiv(max(rows, 1), _Q_TILE) * _Q_TILE
+    q_packed = q.reshape(b, hkv, rows, d)
+    q_p = _pad_dim(q_packed, 2, bq)
+
+    # Page walk: CLAMP past-the-end steps to the sequence's last valid page
+    # (repeat DMAs are elided; contributions masked by lens) so ragged
+    # batches stream only what they own. Flattened 1-D table — the stable
+    # scalar-prefetch pattern on v5e.
+    flat_table = cache.page_table.reshape(-1)
+
+    def kv_index(b_, hk, j, table_ref, lens_ref, mp=max_pages, pg=page):
+        last = jnp.maximum((lens_ref[b_] - 1) // pg, 0)
+        jc = jnp.minimum(j, last)
+        return (table_ref[b_ * mp + jc], hk, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, d),
+                lambda b_, hk, j, t_, l_: (b_, hk, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, page, d), kv_index),
+            pl.BlockSpec((1, 1, page, dv_dim), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, dv_dim), lambda b_, hk, j, t_, l_: (b_, hk, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, LANE), lambda b_, hk, j, t_, l_: (b_, hk, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, dv_dim), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_decode_kernel, scale=scale, max_pages=max_pages, nq=nq
+    )
+    o, _ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, bq, dv_dim), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, bq, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(flat_table, cache.lens, q_p, cache.k_pages, cache.v_pages)
+    return o[:, :, :rows].reshape(b, hq, nq, dv_dim)

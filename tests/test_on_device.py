@@ -212,3 +212,43 @@ def test_fp8_ds_handoff_on_device(tpu, monkeypatch):
         )
     assert _rel(r8[0], r16[0]) < 8e-2, "dq fp8 noise beyond rail"
     assert _rel(r8[0], r16[0]) > 0, "fp8 run suspiciously identical"
+
+
+def test_paged_decode_on_device(tpu):
+    """Mosaic gate for the paged decode kernel: the page walk is a
+    scalar-prefetch table lookup in the K/V BlockSpec index maps — the
+    1-D-flattened pattern documented as stable on v5e (docs/env.md); this
+    proves it on real hardware against the dense decode path."""
+    import dataclasses
+
+    from ffpa_attn_tpu import (
+        PagedKVCache, append_token, ffpa_attn_func, paged_decode_attention,
+    )
+
+    b, hkv, hq, d, page = 2, 2, 8, 512, 128
+    lens = [300, 129]
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    full_k = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
+    full_v = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
+    q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
+
+    cache = PagedKVCache.alloc(b, 512, hkv, d, page_size=page)
+    # Bulk-fill pages via one jit (per-token python appends would compile
+    # max(lens) programs over the tunnel).
+    c = jax.jit(
+        lambda cache, ks_, vs_: jax.lax.scan(
+            lambda cc, kv: (append_token(cc, kv[0], kv[1]), 0),
+            cache,
+            (ks_, vs_),
+        )[0]
+    )(cache, full_k.transpose(2, 0, 1, 3)[:, :, :, None, :],
+      full_v.transpose(2, 0, 1, 3)[:, :, :, None, :])
+    c = dataclasses.replace(c, lens=jnp.asarray(lens, jnp.int32))
+
+    out = jax.jit(paged_decode_attention)(q, c)
+    for i, n in enumerate(lens):
+        want = ffpa_attn_func(
+            q[i : i + 1], full_k[i : i + 1, :, :n], full_v[i : i + 1, :, :n],
+            enable_gqa=True,
+        )
+        assert _rel(out[i : i + 1], want) < 5e-2, f"seq {i} len {n}"

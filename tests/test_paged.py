@@ -1,0 +1,142 @@
+"""Paged decode attention: page-gathered KV streaming (ops/paged.py).
+
+Beyond the reference (its serving story ends at dense contiguous caches):
+correctness of the page-table indirection, ragged masking, PackGQA packing,
+page-boundary appends, and jit/scan composability — all vs the fp32 oracle
+over the dense equivalent of the paged contents.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffpa_attn_tpu import PagedKVCache, append_token, paged_decode_attention
+from ffpa_attn_tpu.ops.reference import expand_kv_heads, reference_attention
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+
+def _fill(cache, full_k, full_v, lens):
+    """Append max(lens) tokens everywhere, then set the ragged lens (the
+    extra rows become unreachable: masked AND past every table walk)."""
+    c = cache
+    for t in range(max(lens)):
+        c = append_token(c, full_k[:, :, t : t + 1], full_v[:, :, t : t + 1])
+    return dataclasses.replace(c, lens=jnp.asarray(lens, jnp.int32))
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_paged_decode_vs_oracle(group):
+    b, hkv, d, page = 3, 2, 320, 128
+    hq = hkv * group
+    lens = [200, 57, 301]
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    full_k = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
+    full_v = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
+    q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
+
+    cache = _fill(
+        PagedKVCache.alloc(b, 512, hkv, d, page_size=page), full_k, full_v, lens
+    )
+    out = paged_decode_attention(q, cache)
+    assert out.shape == (b, hq, 1, d)
+
+    for i, n in enumerate(lens):
+        ref = reference_attention(
+            q[i : i + 1],
+            expand_kv_heads(full_k[i : i + 1, :, :n], hq),
+            expand_kv_heads(full_v[i : i + 1, :, :n], hq),
+            None,
+            scale=d**-0.5,
+        )
+        assert _rel(out[i : i + 1], ref) < 5e-2, f"seq {i} len {n}"
+
+
+def test_paged_append_crosses_page_boundary():
+    """Tokens land in the right page/row, including the first row of a new
+    page; lens advances; pages of OTHER sequences are untouched."""
+    b, hkv, d, page = 2, 1, 320, 128
+    cache = PagedKVCache.alloc(b, 256, hkv, d, page_size=page)
+    kkey = jax.random.PRNGKey(1)
+    steps = page + 2  # crosses into page 2 of each sequence
+    ks = jax.random.normal(kkey, (steps, b, hkv, 1, d), jnp.bfloat16)
+    c = cache
+    for t in range(steps):
+        c = append_token(c, ks[t], ks[t])
+    assert int(c.lens[0]) == steps
+    # Row `page - 1` of page table[0][0], then row 0..1 of table[0][1].
+    t0 = np.asarray(c.page_table)
+    got_last_in_first = np.asarray(c.k_pages)[t0[0, 0], 0, page - 1]
+    np.testing.assert_array_equal(
+        got_last_in_first, np.asarray(ks[page - 1, 0, 0, 0], np.float32)
+    )
+    got_first_in_second = np.asarray(c.k_pages)[t0[0, 1], 0, 0]
+    np.testing.assert_array_equal(
+        got_first_in_second, np.asarray(ks[page, 0, 0, 0], np.float32)
+    )
+    # Sequence 1's pages are disjoint from sequence 0's.
+    assert set(t0[0]).isdisjoint(set(t0[1]))
+    # The reserved null page stays zero.
+    assert float(np.abs(np.asarray(c.k_pages)[0]).max()) == 0.0
+
+
+def test_paged_decode_under_jit_and_scan():
+    """The serving shape: appends + paged attention inside one scanned jit
+    program (page table and pools are jit-static shapes; lens is traced)."""
+    b, hkv, hq, d, page = 2, 2, 4, 320, 128
+    prompt = 100
+    steps = 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    pk = jax.random.normal(ks[0], (b, hkv, prompt, d), jnp.bfloat16)
+    pv = jax.random.normal(ks[1], (b, hkv, prompt, d), jnp.bfloat16)
+    qs = jax.random.normal(ks[2], (steps, b, hq, 1, d), jnp.bfloat16)
+
+    cache = _fill(
+        PagedKVCache.alloc(b, 256, hkv, d, page_size=page),
+        pk, pv, [prompt, prompt],
+    )
+
+    @jax.jit
+    def run(cache, qs):
+        def body(c, q_t):
+            # Decode step: append the current token's K/V (reuse q_t's
+            # values as stand-in K/V), then attend everything cached.
+            c = append_token(c, q_t[:, :2], q_t[:, :2])
+            return c, paged_decode_attention(q_t, c)
+
+        return jax.lax.scan(body, cache, qs)
+
+    final, outs = run(cache, qs)
+    assert outs.shape == (steps, b, hq, 1, d)
+    assert bool(jnp.isfinite(outs.astype(jnp.float32)).all())
+    assert int(final.lens[0]) == prompt + steps
+
+    # Step 0 against the dense oracle: cache = prompt + the appended token.
+    dense_k = jnp.concatenate([pk, qs[0][:, :2]], axis=2)
+    dense_v = jnp.concatenate([pv, qs[0][:, :2]], axis=2)
+    for i in range(b):
+        ref = reference_attention(
+            qs[0][i : i + 1],
+            expand_kv_heads(dense_k[i : i + 1], hq),
+            expand_kv_heads(dense_v[i : i + 1], hq),
+            None,
+            scale=d**-0.5,
+        )
+        assert _rel(outs[0][i : i + 1], ref) < 5e-2, f"seq {i}"
+
+
+def test_paged_empty_sequence_is_finite():
+    """lens=0 sequences (freshly allocated slots in a serving pool) must
+    produce finite output (the l==0 guard), not NaN."""
+    b, hkv, hq, d = 2, 1, 2, 320
+    cache = PagedKVCache.alloc(b, 256, hkv, d, page_size=128)
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, hq, 1, d), jnp.bfloat16)
+    out = paged_decode_attention(q, cache)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

@@ -88,4 +88,7 @@ step 19 verify-store 5400 python -m ffpa_attn_tpu.autotune.verify \
   --headdims 512 1024 --seqlens 8192 --directions fwd bwd
 step 20 bench-driver 1800 env FFPA_TPU_BENCH_SKIP_PREFLIGHT=1 python bench.py
 
+# --- 6. beyond-reference serving tier ---
+step 21 probe-paged 2400 python tools/probe_paged.py
+
 echo "== campaign complete $(date +%H:%M:%S)"
