@@ -136,6 +136,45 @@ def append_token(cache: PagedKVCache, k_new, v_new) -> PagedKVCache:
     )
 
 
+def fill_from_prefill(cache: PagedKVCache, k_dense, v_dense, lens) -> PagedKVCache:
+    """Load a prefill's dense K/V ([B, Hkv, Np, Dh], ragged via ``lens``)
+    into the pool in one shot.
+
+    With ``alloc``'s contiguous page pre-assignment, sequence ``b``'s pages
+    are a contiguous slab of the pool, so the fill is one reshape +
+    dynamic_update_slice per sequence — no scatter. Rows beyond ``lens[b]``
+    are written too (they are masked AND past the table walk's clamp, so
+    they are unreachable), which keeps the copy a single contiguous DMA.
+    """
+    b, hkv, np_, dh = k_dense.shape
+    page = cache.page_size
+    max_pages = cache.page_table.shape[1]
+    pad = cdiv(np_, page) * page
+    n_seq_pages = pad // page
+    assert n_seq_pages <= max_pages, (np_, page, max_pages)
+
+    def load(pages, dense):
+        # [B, Hkv, pad, Dh] -> [B, n_seq_pages, Hkv, page, Dh]
+        d4 = _pad_dim(dense, 2, pad)
+        d5 = d4.reshape(b, hkv, n_seq_pages, page, dh).transpose(0, 2, 1, 3, 4)
+
+        def body(i, pg):
+            # Contiguous pre-assignment: sequence i's first page id.
+            start = cache.page_table[i, 0]
+            return lax.dynamic_update_slice(
+                pg, d5[i].astype(pg.dtype), (start, 0, 0, 0)
+            )
+
+        return lax.fori_loop(0, b, body, pages)
+
+    return PagedKVCache(
+        k_pages=load(cache.k_pages, k_dense),
+        v_pages=load(cache.v_pages, v_dense),
+        page_table=cache.page_table,
+        lens=jnp.asarray(lens, jnp.int32),
+    )
+
+
 def _paged_decode_kernel(
     table_ref,  # SMEM [B * max_pages] int32 (scalar prefetch)
     lens_ref,  # SMEM [B] int32 (scalar prefetch)

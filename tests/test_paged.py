@@ -140,3 +140,51 @@ def test_paged_empty_sequence_is_finite():
     q = jax.random.normal(jax.random.PRNGKey(3), (b, hq, 1, d), jnp.bfloat16)
     out = paged_decode_attention(q, cache)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_fill_from_prefill_matches_append():
+    """Bulk prefill load == token-by-token appends (the two write paths
+    agree), and a follow-up append lands after the prefill rows."""
+    b, hkv, d, page = 2, 2, 320, 128
+    lens = [200, 130]
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    full_k = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
+    full_v = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
+
+    from ffpa_attn_tpu.ops.paged import fill_from_prefill
+
+    base = PagedKVCache.alloc(b, 512, hkv, d, page_size=page)
+    bulk = fill_from_prefill(base, full_k, full_v, lens)
+    slow = _fill(base, full_k, full_v, lens)
+    np.testing.assert_array_equal(
+        np.asarray(bulk.lens), np.asarray(slow.lens)
+    )
+    # Reachable rows agree (rows past lens[b] are unreachable and may
+    # differ: bulk writes padded garbage-rows, append never writes them).
+    t = np.asarray(bulk.page_table)
+    for i, n in enumerate(lens):
+        for tok in range(n):
+            pg, row = t[i, tok // page], tok % page
+            np.testing.assert_array_equal(
+                np.asarray(bulk.k_pages)[pg, :, row],
+                np.asarray(slow.k_pages)[pg, :, row],
+                err_msg=f"seq {i} tok {tok}",
+            )
+        break  # seq 0 full check; seq 1 spot-checked below
+    pg, row = t[1, lens[1] // page], lens[1] % page  # next write slot
+    nk = jax.random.normal(ks[2], (b, hkv, 1, d), jnp.bfloat16)
+    bumped = append_token(bulk, nk, nk)
+    np.testing.assert_array_equal(
+        np.asarray(bumped.k_pages)[pg, :, row],
+        np.asarray(nk[1, :, 0], np.float32),
+    )
+
+    # And attention over the bulk-filled cache matches the oracle.
+    q = jax.random.normal(ks[2], (b, hkv, 1, d), jnp.bfloat16)
+    out = paged_decode_attention(q, bulk)
+    for i, n in enumerate(lens):
+        ref = reference_attention(
+            q[i : i + 1], full_k[i : i + 1, :, :n], full_v[i : i + 1, :, :n],
+            None, scale=d**-0.5,
+        )
+        assert _rel(out[i : i + 1], ref) < 5e-2, f"seq {i}"
