@@ -136,8 +136,56 @@ def bench_serve(
     }
 
 
+def bench_serve_paged(
+    *, batch=4, prompt_len=1024, gen_len=128, d_model=1024, n_layers=4,
+    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000, page_size=256,
+) -> dict:
+    """Paged continuous batching (ops/paged.py pools): same workload as
+    bench_serve, but KV lives in per-layer page pools — ragged batches
+    stream bytes proportional to true lengths instead of max_len rows."""
+    import numpy as np
+
+    from ..models import ModelConfig, init_params
+    from ..models.serving import serve_batch_paged
+
+    cfg = ModelConfig(
+        vocab_size=vocab, d_model=d_model, n_layers=n_layers,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        max_seq_len=prompt_len + gen_len,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    lens = [prompt_len - int(rng.integers(0, prompt_len // 2)) for _ in range(batch)]
+    prompts = [
+        jnp.asarray(rng.integers(0, vocab, (ln,)), jnp.int32) for ln in lens
+    ]
+    max_len = prompt_len + gen_len
+
+    from ._bench import _sync
+
+    toks = serve_batch_paged(
+        params, prompts, gen_len, cfg, max_len, page_size=page_size
+    )  # compile
+    _sync(toks)
+    t0 = time.perf_counter()
+    toks = serve_batch_paged(
+        params, prompts, gen_len, cfg, max_len, page_size=page_size
+    )
+    _sync(toks)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "serve_paged_tokens_per_s",
+        "value": round(batch * gen_len / dt, 1),
+        "unit": "tokens/s",
+        "config": f"B{batch} mixed-prompts<= {prompt_len} gen{gen_len} "
+        f"page{page_size} L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} "
+        f"Dh{head_dim}",
+        "total_s": round(dt, 3),
+    }
+
+
 def main(argv=None) -> int:
-    for fn in (bench_train, bench_decode, bench_serve):
+    for fn in (bench_train, bench_decode, bench_serve, bench_serve_paged):
         try:
             print(json.dumps(fn()))
         except Exception as exc:

@@ -6,7 +6,7 @@ an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
 """
 
 from .generate import decode_step, generate, init_kv_cache, prefill
-from .serving import pack_prompts, prefill_packed, serve_batch
+from .serving import pack_prompts, prefill_packed, serve_batch, serve_batch_paged
 from .transformer import (
     ModelConfig,
     init_params,
@@ -30,4 +30,5 @@ __all__ = [
     "pack_prompts",
     "prefill_packed",
     "serve_batch",
+    "serve_batch_paged",
 ]

@@ -227,3 +227,95 @@ def _rope_at(x, positions):
         positions,
     )  # [1, H, B, Dh] rotated with per-"row" positions
     return outs[0].transpose(1, 0, 2)[:, :, None, :]  # [B, H, 1, Dh]
+
+
+def serve_batch_paged(
+    params,
+    prompts: Sequence[jnp.ndarray],
+    steps: int,
+    cfg: ModelConfig,
+    max_len: int,
+    page_size: int = 128,
+    pack_to: int | None = None,
+):
+    """Continuous batching over PAGED KV (ops/paged.py) — the vLLM-style
+    serving memory: per-layer global page pools + per-sequence page
+    tables, so a ragged batch streams bytes proportional to its true
+    lengths (the dense shared-row cache streams ``max_len`` rows for every
+    sequence) and appending never reallocates.
+
+    Same contract as ``serve_batch``: one packed varlen prefill + ``steps``
+    scanned paged-decode steps; returns greedy tokens [B, steps]. Unlike
+    the shared-row layout, cache rows ARE true positions (prompt rows then
+    generated rows, contiguous per sequence) — no row remap, no mask gap.
+    """
+    from ..ops.paged import PagedKVCache, fill_from_prefill
+
+    batch = len(prompts)
+    lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    pack_to = pack_to or int(sum(int(p.shape[0]) for p in prompts))
+    packed, cu = pack_prompts(prompts, pack_to)
+    max_seqlen = int(lens.max())
+    # Highest token index ever cached is lens[b] + steps - 2 (the final
+    # sampled token is returned, never cached).
+    assert max_seqlen + steps - 1 <= max_len, (max_seqlen, steps, max_len)
+
+    dense = init_kv_cache(cfg, batch, max_seqlen)
+    logits, dense = prefill_packed(params, packed, cu, max_seqlen, cfg, dense)
+    caches = [
+        fill_from_prefill(
+            PagedKVCache.alloc(
+                batch, max_len, cfg.n_kv_heads, cfg.head_dim, page_size,
+                dtype=dense[li]["k"].dtype,
+            ),
+            dense[li]["k"], dense[li]["v"], lens,
+        )
+        for li in range(cfg.n_layers)
+    ]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+    if steps == 1:
+        return tok[:, None]
+    rest = _paged_decode_loop_jit(params, caches, tok, cfg, steps - 1)
+    return jnp.concatenate([tok[:, None], rest], axis=1)  # [B, steps]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps"))
+def _paged_decode_loop_jit(params, caches, first, cfg: ModelConfig, steps: int):
+    def body(carry, _):
+        caches, tok = carry
+        logits, caches = _paged_decode_step(params, caches, tok, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (caches, nxt), nxt
+
+    (_, _), toks = jax.lax.scan(body, (caches, first), None, length=steps)
+    return jnp.moveaxis(toks, 0, 1)  # [B, steps]
+
+
+def _paged_decode_step(params, caches, token, cfg: ModelConfig):
+    """One decode step over per-layer paged pools. The new token's true
+    position is ``caches[0].lens`` (rows are positions — contiguous per
+    sequence); its K/V are appended BEFORE attention so the kernel's
+    ``[0, lens)`` window includes it (standard decode semantics)."""
+    from ..ops.paged import append_token, paged_decode_attention
+
+    b = token.shape[0]
+    positions = caches[0].lens  # [B] — position of the incoming token
+    x = params["embed"][token][:, None]  # [B, 1, D]
+    dh = cfg.head_dim
+
+    new_caches = []
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        q = _rope_at(q, positions)
+        k = _rope_at(k, positions)
+        cache = append_token(caches[li], k, v)
+        new_caches.append(cache)
+        o = paged_decode_attention(q, cache, scale=dh**-0.5)
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
+        h = _rmsnorm(x, layer["mlp_norm"])
+        x = x + _mlp(layer, h)
+    x = _rmsnorm(x[:, -1], params["final_norm"])
+    return x @ params["embed"].T, new_caches

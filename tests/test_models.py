@@ -200,3 +200,67 @@ def test_serve_batch_minimal_cache_bound():
         k0[:, :, :row], np.asarray(marker[0], np.float32)[:, :, :row],
         err_msg="decode write touched rows other than base + t",
     )
+
+
+def test_serve_batch_paged_matches_dense_step_logits():
+    """Paged continuous batching (per-layer page pools) must produce the
+    same math as the shared-row dense path: teacher-forced FIRST decode
+    step logits agree within kernel tolerance, and the full paged loop
+    runs at the exact minimal page budget with in-vocab tokens.
+    (Exact token-chain equality across the two kernels is flaky by
+    construction on a random tiny model — argmax near-ties.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ffpa_attn_tpu.models import (
+        ModelConfig, init_kv_cache, init_params, serve_batch_paged,
+    )
+    from ffpa_attn_tpu.models.serving import (
+        _batched_decode_step, _paged_decode_step, pack_prompts,
+        prefill_packed,
+    )
+    from ffpa_attn_tpu.ops.paged import PagedKVCache, fill_from_prefill
+
+    cfg = ModelConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=2,
+        n_kv_heads=1, head_dim=320, max_seq_len=512,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [
+        jax.random.randint(jax.random.PRNGKey(i + 1), (n,), 0, 128)
+        for i, n in enumerate((130, 70, 41))
+    ]
+    lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
+    packed, cu = pack_prompts(prompts, 241)
+    base = 130
+
+    dense = init_kv_cache(cfg, 3, 256)
+    logits, dense = prefill_packed(params, packed, cu, base, cfg, dense)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    paged = [
+        fill_from_prefill(
+            PagedKVCache.alloc(3, 256, cfg.n_kv_heads, cfg.head_dim, 128),
+            dense[li]["k"][:, :, :base], dense[li]["v"][:, :, :base], lens,
+        )
+        for li in range(cfg.n_layers)
+    ]
+
+    dlog, _ = _batched_decode_step(
+        params, dense, lens, jnp.int32(0), tok, cfg, base=base
+    )
+    plog, _ = _paged_decode_step(params, paged, tok, cfg)
+    np.testing.assert_allclose(
+        np.asarray(plog, np.float32), np.asarray(dlog, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+    # Full paged loop at the exact minimal budget.
+    steps = 4
+    got = serve_batch_paged(
+        params, prompts, steps, cfg, max_len=base + steps - 1
+    )
+    assert got.shape == (3, steps)
+    assert bool(jnp.all((got >= 0) & (got < cfg.vocab_size)))
+    assert int(got[0, 0]) == int(tok[0])
