@@ -81,6 +81,20 @@ def main():
         except Exception as exc:
             print(f"{name:15s} FAILED {str(exc)[:140]}", flush=True)
 
+    # Optional profiler trace of ONE handoff grad (FFPA_TPU_PROBE_TRACE=1):
+    # the trace shows dS-write/read DMA vs MXU overlap directly — the
+    # ground truth behind the exposure numbers above.
+    if os.environ.get("FFPA_TPU_PROBE_TRACE") == "1":
+        from ffpa_attn_tpu.utils.profiling import trace
+
+        fn = jax.jit(functools.partial(bwd, True))
+        out = fn(q, k, v, o, lse, do)  # compile outside the trace
+        jax.block_until_ready(out)
+        tdir = "tools/r3_logs/trace_16k_bwd"
+        with trace(tdir):
+            jax.block_until_ready(fn(q, k, v, o, lse, do))
+        print(f"trace written to {tdir}", flush=True)
+
     # --- dK/dV launch alone (no dS emission): the 4 in-kernel units ---
     def dkdv_only(q_, k_, v_, o_, lse_, do_):
         _, dk, dv, _ = flash_attention_backward(
