@@ -49,6 +49,16 @@ def verify_case(
     k = jax.random.normal(kk, (1, 8, n, d), dtype=dtype)
     v = jax.random.normal(kv, (1, 8, n, d), dtype=dtype)
     scale = 1.0 / (d ** 0.5)
+    # Kernel-level calls below sit UNDER the interface's f16->bf16 compute
+    # cast (Mosaic has no f16); mirror it here like the search does, keying
+    # the store lookup and tolerance on the DECLARED dtype. The numerics
+    # gate keeps the ORIGINAL declared-dtype arrays: the interface owns the
+    # fp16 1e-2 contract machinery (precise_pv hi+lo split), so only a
+    # through-the-interface run is held to that tolerance.
+    from .search import _search_compute_dtype
+
+    q0, k0, v0 = q, k, v
+    q, k, v, was_f16 = _search_compute_dtype(q, k, v)
 
     if direction == "fwd":
         stored = pick_forward_config(
@@ -75,21 +85,43 @@ def verify_case(
         fresh, fresh_ms = autotune_backward(
             q, k, v, None, scale=scale, is_causal=causal, mode=mode
         )
-        o, lse = flash_attention_forward(
-            q, k, v, None, scale=scale, is_causal=causal
+        # Time the stored config on the SAME execution scheme the fresh
+        # search timed (autotune_backward): S-residency when the production
+        # policy opts in, and the fp16 hi+lo dV split for f16 tasks —
+        # otherwise stored_vs_fresh compares different backward schemes.
+        from ..ops.attention import StaticArgs, _should_save_scores
+
+        use_scores = _should_save_scores(
+            StaticArgs(
+                scale=scale, is_causal=causal, dropout_p=0.0,
+                fwd_config=None, bwd_config=None, backward_is_sdpa=False,
+                grad_kv_storage_dtype=None, grad_q_storage_dtype=None,
+            ),
+            q, k, v, None,
         )
+        fwd_out = flash_attention_forward(
+            q, k, v, None, scale=scale, is_causal=causal,
+            return_scores=use_scores,
+        )
+        if use_scores:
+            o, lse, scores = fwd_out
+        else:
+            (o, lse), scores = fwd_out, None
 
         def run_with(cfg):
-            def step(q_, k_, v_, o_, lse_, do_):
+            def step(q_, k_, v_, o_, lse_, do_, *maybe_scores):
+                scores_ = maybe_scores[0] if maybe_scores else None
                 dq, dk, dv_, _ = flash_attention_backward(
                     q_, k_, v_, None, o_, lse_, do_,
                     scale=scale, is_causal=causal, config=cfg,
+                    scores=scores_, precise_pv=was_f16,
                 )
                 return dq, jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
                     dv_.astype(jnp.float32)
                 )
 
-            return time_chained(step, q, k, v, o, lse, do, iters=3)
+            rest = (k, v, o, lse, do) + ((scores,) if use_scores else ())
+            return time_chained(step, q, *rest, iters=3)
 
         # Numerics gate: the STORED config's dq vs the chunked fp32-softmax
         # composite (same oracle the bench gate uses; k/v/do ride as traced
@@ -119,8 +151,8 @@ def verify_case(
             return ffpa_attn_func(q_, k_, v_, is_causal=causal)
 
         numerics_rel = _rel(
-            dq_of(ffpa_fwd, q, k, v, do),
-            dq_of(composite, q, k, v, do),
+            dq_of(ffpa_fwd, q0, k0, v0, do),
+            dq_of(composite, q0, k0, v0, do),
         )
         tol = 1e-2 if dtype == jnp.float16 else 5e-2
         if numerics_rel >= tol:

@@ -92,18 +92,16 @@ def bench_decode(
     }
 
 
-def bench_serve(
-    *, batch=4, prompt_len=1024, gen_len=128, d_model=1024, n_layers=4,
-    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000,
+def _bench_serve_impl(
+    serve_fn, metric: str, *, batch, prompt_len, gen_len, d_model, n_layers,
+    n_heads, n_kv_heads, head_dim, vocab, extra_cfg: str = "",
+    **serve_kwargs,
 ) -> dict:
-    """Continuous batching: packed mixed-length varlen prefill + scanned
-    ragged batched decode (models/serving.py). The health metric is
-    per-sequence throughput vs the single-sequence decode loop — the
-    scanned decode should hold it within ~10% (VERDICT round-1 weak #6)."""
+    """Shared continuous-batching bench: same workload for every serving
+    flavor (the dense-vs-paged comparison stays like-for-like)."""
     import numpy as np
 
     from ..models import ModelConfig, init_params
-    from ..models.serving import serve_batch
 
     cfg = ModelConfig(
         vocab_size=vocab, d_model=d_model, n_layers=n_layers,
@@ -120,20 +118,39 @@ def bench_serve(
 
     from ._bench import _sync
 
-    toks = serve_batch(params, prompts, gen_len, cfg, max_len)  # compile
-    _sync(toks)
+    toks = serve_fn(params, prompts, gen_len, cfg, max_len, **serve_kwargs)
+    _sync(toks)  # compile
     t0 = time.perf_counter()
-    toks = serve_batch(params, prompts, gen_len, cfg, max_len)
+    toks = serve_fn(params, prompts, gen_len, cfg, max_len, **serve_kwargs)
     _sync(toks)
     dt = time.perf_counter() - t0
     return {
-        "metric": "serve_tokens_per_s",
+        "metric": metric,
         "value": round(batch * gen_len / dt, 1),
         "unit": "tokens/s",
         "config": f"B{batch} mixed-prompts<= {prompt_len} gen{gen_len} "
-        f"L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} Dh{head_dim}",
+        f"{extra_cfg}L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} "
+        f"Dh{head_dim}",
         "total_s": round(dt, 3),
     }
+
+
+def bench_serve(
+    *, batch=4, prompt_len=1024, gen_len=128, d_model=1024, n_layers=4,
+    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000,
+) -> dict:
+    """Continuous batching: packed mixed-length varlen prefill + scanned
+    ragged batched decode (models/serving.py). The health metric is
+    per-sequence throughput vs the single-sequence decode loop — the
+    scanned decode should hold it within ~10% (VERDICT round-1 weak #6)."""
+    from ..models.serving import serve_batch
+
+    return _bench_serve_impl(
+        serve_batch, "serve_tokens_per_s", batch=batch,
+        prompt_len=prompt_len, gen_len=gen_len, d_model=d_model,
+        n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
+        head_dim=head_dim, vocab=vocab,
+    )
 
 
 def bench_serve_paged(
@@ -143,45 +160,15 @@ def bench_serve_paged(
     """Paged continuous batching (ops/paged.py pools): same workload as
     bench_serve, but KV lives in per-layer page pools — ragged batches
     stream bytes proportional to true lengths instead of max_len rows."""
-    import numpy as np
-
-    from ..models import ModelConfig, init_params
     from ..models.serving import serve_batch_paged
 
-    cfg = ModelConfig(
-        vocab_size=vocab, d_model=d_model, n_layers=n_layers,
-        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
-        max_seq_len=prompt_len + gen_len,
+    return _bench_serve_impl(
+        serve_batch_paged, "serve_paged_tokens_per_s", batch=batch,
+        prompt_len=prompt_len, gen_len=gen_len, d_model=d_model,
+        n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
+        head_dim=head_dim, vocab=vocab, extra_cfg=f"page{page_size} ",
+        page_size=page_size,
     )
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-    lens = [prompt_len - int(rng.integers(0, prompt_len // 2)) for _ in range(batch)]
-    prompts = [
-        jnp.asarray(rng.integers(0, vocab, (ln,)), jnp.int32) for ln in lens
-    ]
-    max_len = prompt_len + gen_len
-
-    from ._bench import _sync
-
-    toks = serve_batch_paged(
-        params, prompts, gen_len, cfg, max_len, page_size=page_size
-    )  # compile
-    _sync(toks)
-    t0 = time.perf_counter()
-    toks = serve_batch_paged(
-        params, prompts, gen_len, cfg, max_len, page_size=page_size
-    )
-    _sync(toks)
-    dt = time.perf_counter() - t0
-    return {
-        "metric": "serve_paged_tokens_per_s",
-        "value": round(batch * gen_len / dt, 1),
-        "unit": "tokens/s",
-        "config": f"B{batch} mixed-prompts<= {prompt_len} gen{gen_len} "
-        f"page{page_size} L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} "
-        f"Dh{head_dim}",
-        "total_s": round(dt, 3),
-    }
 
 
 def main(argv=None) -> int:

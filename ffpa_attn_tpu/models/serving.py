@@ -168,6 +168,29 @@ def _batched_decode_loop_jit(params, cache, lens, first, cfg: ModelConfig,
     return jnp.moveaxis(toks, 0, 1)  # [B, steps]
 
 
+def _token_block(params, token, cfg: ModelConfig, positions, attend):
+    """The per-token transformer stack shared by every decode flavor:
+    embed -> [norm, QKV, RoPE at ``positions``, attend(li, q, k, v) -> o,
+    residual, MLP] x layers -> final norm -> logits. ``attend`` owns the
+    cache write + attention call (shared-row dense vs paged pools)."""
+    b = token.shape[0]
+    dh = cfg.head_dim
+    x = params["embed"][token][:, None]  # [B, 1, D]
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
+        q = _rope_at(q, positions)
+        k = _rope_at(k, positions)
+        o = attend(li, q, k, v)
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
+        h = _rmsnorm(x, layer["mlp_norm"])
+        x = x + _mlp(layer, h)
+    x = _rmsnorm(x[:, -1], params["final_norm"])
+    return x @ params["embed"].T
+
+
 def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
                          base: int):
     """One decode step for a ragged batch at shared step index ``t``.
@@ -183,8 +206,6 @@ def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
     max_len = cache[0]["k"].shape[2]
     positions = lens + t  # [B] true token positions (RoPE)
     write_row = base + t  # shared cache row (traced scalar)
-    x = params["embed"][token][:, None]  # [B, 1, D]
-    dh = cfg.head_dim
     cols = jnp.arange(max_len)[None, :]
     valid = (cols < lens[:, None]) | (
         (cols >= base) & (cols <= write_row)
@@ -193,13 +214,7 @@ def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
     bias = bias[:, None, None, :]  # [B, 1, 1, max_len]
     enable_gqa = cfg.n_heads != cfg.n_kv_heads
 
-    for li, layer in enumerate(params["layers"]):
-        h = _rmsnorm(x, layer["attn_norm"])
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
-        q = _rope_at(q, positions)
-        k = _rope_at(k, positions)
+    def attend(li, q, k, v):
         # One whole-batch cache write at the shared row.
         k_cache = jax.lax.dynamic_update_slice(
             cache[li]["k"], k, (0, 0, write_row, 0)
@@ -210,14 +225,11 @@ def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
         cache[li] = {"k": k_cache, "v": v_cache}
         from ..interface import ffpa_attn_func
 
-        o = ffpa_attn_func(
+        return ffpa_attn_func(
             q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa
         )
-        x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
-        h = _rmsnorm(x, layer["mlp_norm"])
-        x = x + _mlp(layer, h)
-    x = _rmsnorm(x[:, -1], params["final_norm"])
-    return x @ params["embed"].T, cache
+
+    return _token_block(params, token, cfg, positions, attend), cache
 
 
 def _rope_at(x, positions):
@@ -298,24 +310,13 @@ def _paged_decode_step(params, caches, token, cfg: ModelConfig):
     ``[0, lens)`` window includes it (standard decode semantics)."""
     from ..ops.paged import append_token, paged_decode_attention
 
-    b = token.shape[0]
     positions = caches[0].lens  # [B] — position of the incoming token
-    x = params["embed"][token][:, None]  # [B, 1, D]
-    dh = cfg.head_dim
-
     new_caches = []
-    for li, layer in enumerate(params["layers"]):
-        h = _rmsnorm(x, layer["attn_norm"])
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, dh).transpose(0, 2, 1, 3)
-        q = _rope_at(q, positions)
-        k = _rope_at(k, positions)
+
+    def attend(li, q, k, v):
         cache = append_token(caches[li], k, v)
         new_caches.append(cache)
-        o = paged_decode_attention(q, cache, scale=dh**-0.5)
-        x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
-        h = _rmsnorm(x, layer["mlp_norm"])
-        x = x + _mlp(layer, h)
-    x = _rmsnorm(x[:, -1], params["final_norm"])
-    return x @ params["embed"].T, new_caches
+        return paged_decode_attention(q, cache, scale=cfg.head_dim**-0.5)
+
+    logits = _token_block(params, token, cfg, positions, attend)
+    return logits, new_caches

@@ -109,12 +109,26 @@ class PagedKVCache:
 
 def append_token(cache: PagedKVCache, k_new, v_new) -> PagedKVCache:
     """Append one token's K/V per sequence: ``k_new``/``v_new`` are
-    [B, Hkv, 1, Dh]. Returns the updated cache (functional)."""
+    [B, Hkv, 1, Dh]. Returns the updated cache (functional).
+
+    A full sequence (``lens[b] == max_pages * page_size``) DROPS the
+    append: the write is redirected to the reserved null page and its len
+    freezes at capacity. Without this, JAX's clamped gather/DUS would
+    silently overwrite the sequence's LAST page (the failure mode
+    serve_batch's cache-bound assert exists to prevent); ``lens`` can't be
+    asserted under jit, so overflow is made inert instead.
+    """
     b = k_new.shape[0]
     page = cache.page_size
+    max_pages = cache.page_table.shape[1]
+    cap = max_pages * page
     pos = cache.lens  # [B]
-    page_ids = jax.vmap(lambda t, p: t[p // page])(cache.page_table, pos)
-    rows = pos % page
+    in_range = pos < cap
+    page_ids = jax.vmap(
+        lambda t, p: t[jnp.clip(p // page, 0, max_pages - 1)]
+    )(cache.page_table, pos)
+    page_ids = jnp.where(in_range, page_ids, 0)  # null page soaks overflow
+    rows = jnp.where(in_range, pos % page, 0)
 
     def write(pages, new):
         # One dynamic_update_slice per sequence via vmap-of-gather is a
@@ -132,7 +146,7 @@ def append_token(cache: PagedKVCache, k_new, v_new) -> PagedKVCache:
         k_pages=write(cache.k_pages, k_new[:, :, 0]),
         v_pages=write(cache.v_pages, v_new[:, :, 0]),
         page_table=cache.page_table,
-        lens=cache.lens + 1,
+        lens=jnp.minimum(cache.lens + 1, cap),
     )
 
 
@@ -189,7 +203,6 @@ def _paged_decode_kernel(
     *,
     scale,
     max_pages,
-    nq,
 ):
     b_idx = pl.program_id(0)
     j = pl.program_id(2)
@@ -310,7 +323,7 @@ def paged_decode_attention(
         ],
     )
     kernel = functools.partial(
-        _paged_decode_kernel, scale=scale, max_pages=max_pages, nq=nq
+        _paged_decode_kernel, scale=scale, max_pages=max_pages
     )
     o, _ = pl.pallas_call(
         kernel,

@@ -188,3 +188,28 @@ def test_fill_from_prefill_matches_append():
             None, scale=d**-0.5,
         )
         assert _rel(out[i : i + 1], ref) < 5e-2, f"seq {i}"
+
+
+def test_paged_append_overflow_is_inert():
+    """Appending past pool capacity must not corrupt stored tokens: the
+    write is soaked by the null page and lens freezes at capacity (JAX's
+    clamped gather/DUS would otherwise silently overwrite the LAST page)."""
+    b, hkv, d, page = 1, 1, 320, 128
+    cap = 128  # one page
+    cache = PagedKVCache.alloc(b, cap, hkv, d, page_size=page)
+    ks = jax.random.normal(jax.random.PRNGKey(7), (cap + 3, b, hkv, 1, d),
+                           jnp.bfloat16)
+    c = cache
+    for t in range(cap + 3):
+        c = append_token(c, ks[t], ks[t])
+    assert int(c.lens[0]) == cap  # frozen at capacity
+    t0 = np.asarray(c.page_table)
+    # Token 0 and the last in-capacity token survive untouched.
+    np.testing.assert_array_equal(
+        np.asarray(c.k_pages)[t0[0, 0], 0, 0],
+        np.asarray(ks[0, 0, 0, 0], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c.k_pages)[t0[0, 0], 0, page - 1],
+        np.asarray(ks[cap - 1, 0, 0, 0], np.float32),
+    )
