@@ -8,7 +8,7 @@ wrappers whose collectives (ppermute / psum) compile onto ICI.
 from .analysis import ring_scaling_projection, two_host_report
 from .mesh import initialize_distributed, make_mesh
 from .ring import ring_attention, ring_attention_sharded
-from .tp import head_parallel_attention
+from .tp import head_parallel_attention, paged_head_parallel_decode
 from .ulysses import ulysses_attention, ulysses_attention_sharded
 from .zigzag import zigzag_ring_attention_sharded
 
@@ -20,6 +20,7 @@ __all__ = [
     "ring_attention",
     "ring_attention_sharded",
     "head_parallel_attention",
+    "paged_head_parallel_decode",
     "ulysses_attention",
     "ulysses_attention_sharded",
     "zigzag_ring_attention_sharded",

@@ -64,3 +64,43 @@ def head_parallel_attention(
         out_specs=spec,
         check_vma=False,
     )(q, k, v)
+
+
+def paged_head_parallel_decode(
+    q,
+    cache,
+    mesh: Mesh,
+    *,
+    head_axis: str = "tp",
+    scale: Optional[float] = None,
+):
+    """Head-sharded PAGED decode: the page pools shard on their Hkv axis
+    (each chip owns its KV heads' pages — the pool memory scales down with
+    TP, which is the point of sharding a serving cache), page tables and
+    lens replicate, and the page-gathered kernel runs per shard with its
+    local GQA group. Zero collectives, like head_parallel_attention.
+    """
+    from ..ops.paged import PagedKVCache, paged_decode_attention
+
+    tp = mesh.shape[head_axis]
+    hq, hkv = q.shape[1], cache.k_pages.shape[1]
+    if hq % tp != 0 or hkv % tp != 0:
+        raise ValueError(
+            f"Hq={hq}/Hkv={hkv} not divisible by {head_axis}={tp}"
+        )
+
+    qspec = P(None, head_axis, None, None)
+    pool_spec = P(None, head_axis, None, None)
+
+    def _local(q_, kp, vp, tbl, lens):
+        return paged_decode_attention(
+            q_, PagedKVCache(kp, vp, tbl, lens), scale=scale
+        )
+
+    return shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(qspec, pool_spec, pool_spec, P(None, None), P(None)),
+        out_specs=qspec,
+        check_vma=False,
+    )(q, cache.k_pages, cache.v_pages, cache.page_table, cache.lens)

@@ -77,3 +77,42 @@ def test_ring_scaling_projection():
         b=1, h=32, n=16384, d=512, chips=8, hops_over_dcn=2
     )
     assert pd.efficiency < p8.efficiency
+
+
+def test_paged_decode_head_sharded():
+    """Paged decode under TP: pools shard on the Hkv axis (each device
+    owns its KV heads' pages — serving cache memory scales down with TP),
+    tables/lens replicate; matches the unsharded paged kernel."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ffpa_attn_tpu.ops.paged import (
+        PagedKVCache, fill_from_prefill, paged_decode_attention,
+    )
+    from ffpa_attn_tpu.parallel import paged_head_parallel_decode
+
+    devs = jax.devices()
+    assert len(devs) >= 4
+    mesh = Mesh(np.asarray(devs[:4]).reshape(4), ("tp",))
+
+    b, hkv, hq, d, page = 2, 4, 8, 320, 128
+    lens = [200, 77]
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    full_k = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
+    full_v = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
+    q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
+    cache = fill_from_prefill(
+        PagedKVCache.alloc(b, 256, hkv, d, page_size=page),
+        full_k, full_v, lens,
+    )
+
+    want = paged_decode_attention(q, cache)
+    got = paged_head_parallel_decode(q, cache, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
