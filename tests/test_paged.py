@@ -24,11 +24,21 @@ def _rel(a, b):
 
 
 def _fill(cache, full_k, full_v, lens):
-    """Append max(lens) tokens everywhere, then set the ragged lens (the
-    extra rows become unreachable: masked AND past every table walk)."""
-    c = cache
-    for t in range(max(lens)):
-        c = append_token(c, full_k[:, :, t : t + 1], full_v[:, :, t : t + 1])
+    """Append max(lens) tokens everywhere (ONE scanned jit — hundreds of
+    eager appends dominate suite time otherwise), then set the ragged lens
+    (the extra rows become unreachable: masked AND past every table walk)."""
+
+    @jax.jit
+    def run(cache, ks_, vs_):
+        return jax.lax.scan(
+            lambda c, kv: (append_token(c, kv[0], kv[1]), 0), cache, (ks_, vs_)
+        )[0]
+
+    c = run(
+        cache,
+        full_k.transpose(2, 0, 1, 3)[:, :, :, None, :],
+        full_v.transpose(2, 0, 1, 3)[:, :, :, None, :],
+    )
     return dataclasses.replace(c, lens=jnp.asarray(lens, jnp.int32))
 
 
@@ -67,9 +77,11 @@ def test_paged_append_crosses_page_boundary():
     kkey = jax.random.PRNGKey(1)
     steps = page + 2  # crosses into page 2 of each sequence
     ks = jax.random.normal(kkey, (steps, b, hkv, 1, d), jnp.bfloat16)
-    c = cache
-    for t in range(steps):
-        c = append_token(c, ks[t], ks[t])
+    c = jax.jit(
+        lambda cc, xs: jax.lax.scan(
+            lambda a, x: (append_token(a, x, x), 0), cc, xs
+        )[0]
+    )(cache, ks)
     assert int(c.lens[0]) == steps
     # Row `page - 1` of page table[0][0], then row 0..1 of table[0][1].
     t0 = np.asarray(c.page_table)
@@ -199,9 +211,11 @@ def test_paged_append_overflow_is_inert():
     cache = PagedKVCache.alloc(b, cap, hkv, d, page_size=page)
     ks = jax.random.normal(jax.random.PRNGKey(7), (cap + 3, b, hkv, 1, d),
                            jnp.bfloat16)
-    c = cache
-    for t in range(cap + 3):
-        c = append_token(c, ks[t], ks[t])
+    c = jax.jit(
+        lambda cc, xs: jax.lax.scan(
+            lambda a, x: (append_token(a, x, x), 0), cc, xs
+        )[0]
+    )(cache, ks)
     assert int(c.lens[0]) == cap  # frozen at capacity
     t0 = np.asarray(c.page_table)
     # Token 0 and the last in-capacity token survive untouched.
