@@ -22,7 +22,14 @@ from .interface import (
     patch_dot_product_attention,
     unpatch_dot_product_attention,
 )
-from .ops.paged import PagedKVCache, append_token, paged_decode_attention
+from .ops.paged import (
+    PageAllocator,
+    PagedKVCache,
+    append_token,
+    assign_sequence,
+    fill_from_prefill,
+    paged_decode_attention,
+)
 from .version import __version__
 
 __all__ = [
@@ -34,8 +41,11 @@ __all__ = [
     "SDPABackend",
     "PallasBackend",
     "FFPAAttnMeta",
+    "PageAllocator",
     "PagedKVCache",
     "append_token",
+    "assign_sequence",
+    "fill_from_prefill",
     "paged_decode_attention",
     "__version__",
 ]

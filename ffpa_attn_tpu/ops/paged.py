@@ -154,11 +154,12 @@ def fill_from_prefill(cache: PagedKVCache, k_dense, v_dense, lens) -> PagedKVCac
     """Load a prefill's dense K/V ([B, Hkv, Np, Dh], ragged via ``lens``)
     into the pool in one shot.
 
-    With ``alloc``'s contiguous page pre-assignment, sequence ``b``'s pages
-    are a contiguous slab of the pool, so the fill is one reshape +
-    dynamic_update_slice per sequence — no scatter. Rows beyond ``lens[b]``
-    are written too (they are masked AND past the table walk's clamp, so
-    they are unreachable), which keeps the copy a single contiguous DMA.
+    One dynamic_update_slice per (sequence, page) — page-table entries may
+    be arbitrary pool pages (PageAllocator admission), so the fill walks
+    the table rather than assuming ``alloc``'s contiguous slabs. Rows
+    beyond ``lens[b]`` are written too (they are masked AND past the table
+    walk's clamp, so they are unreachable), keeping each copy one
+    contiguous page-sized DMA.
     """
     b, hkv, np_, dh = k_dense.shape
     page = cache.page_size
@@ -172,14 +173,14 @@ def fill_from_prefill(cache: PagedKVCache, k_dense, v_dense, lens) -> PagedKVCac
         d4 = _pad_dim(dense, 2, pad)
         d5 = d4.reshape(b, hkv, n_seq_pages, page, dh).transpose(0, 2, 1, 3, 4)
 
-        def body(i, pg):
-            # Contiguous pre-assignment: sequence i's first page id.
-            start = cache.page_table[i, 0]
+        def body(ij, pg):
+            i, j = ij // n_seq_pages, ij % n_seq_pages
             return lax.dynamic_update_slice(
-                pg, d5[i].astype(pg.dtype), (start, 0, 0, 0)
+                pg, d5[i, j][None].astype(pg.dtype),
+                (cache.page_table[i, j], 0, 0, 0),
             )
 
-        return lax.fori_loop(0, b, body, pages)
+        return lax.fori_loop(0, b * n_seq_pages, body, pages)
 
     return PagedKVCache(
         k_pages=load(cache.k_pages, k_dense),
@@ -338,3 +339,64 @@ def paged_decode_attention(
         interpret=use_interpret() if interpret is None else interpret,
     )(flat_table, cache.lens, q_p, cache.k_pages, cache.v_pages)
     return o[:, :, :rows].reshape(b, hq, nq, dv_dim)
+
+
+class PageAllocator:
+    """Host-side free-list allocator for the serving pool.
+
+    jit programs need static shapes, so page churn happens BETWEEN steps on
+    the host: the allocator owns which pool pages are free, and sequence
+    slots acquire/release whole page runs through it. The device-side
+    PagedKVCache never changes shape — admission rewrites one row of the
+    page table (and zeroes the slot's ``lens`` entry), eviction just
+    returns the pages.
+
+    This is the piece a vLLM-style engine calls between decode steps:
+
+        alloc = PageAllocator(num_pages=1 + 64, reserved=1)
+        pages = alloc.acquire(n_pages)        # admission (None = pool full)
+        cache = assign_sequence(cache, slot, pages)   # device update
+        ...
+        alloc.release(pages)                  # eviction / completion
+    """
+
+    def __init__(self, num_pages: int, reserved: int = 1):
+        # Page ids [0, reserved) are never handed out (0 = null page).
+        self._free = list(range(num_pages - 1, reserved - 1, -1))
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def acquire(self, n: int):
+        """Pop ``n`` free pages, or None (caller queues the sequence)."""
+        if n > len(self._free):
+            return None
+        got = [self._free.pop() for _ in range(n)]
+        return got
+
+    def release(self, pages) -> None:
+        seen = set(self._free)
+        for p in pages:
+            if p in seen:
+                raise ValueError(f"double free of page {p}")
+            self._free.append(int(p))
+            seen.add(p)
+
+
+def assign_sequence(cache: PagedKVCache, slot: int, pages) -> PagedKVCache:
+    """Point batch slot ``slot`` at ``pages`` (from PageAllocator.acquire)
+    and reset its length — the device-side half of admission. Unused table
+    tail entries point at the null page (never walked: the kernel clamps to
+    the last valid page of ``lens``)."""
+    max_pages = cache.page_table.shape[1]
+    assert len(pages) <= max_pages, (len(pages), max_pages)
+    row = jnp.zeros((max_pages,), jnp.int32).at[: len(pages)].set(
+        jnp.asarray(pages, jnp.int32)
+    )
+    return PagedKVCache(
+        k_pages=cache.k_pages,
+        v_pages=cache.v_pages,
+        page_table=cache.page_table.at[slot].set(row),
+        lens=cache.lens.at[slot].set(0),
+    )

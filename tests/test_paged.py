@@ -227,3 +227,48 @@ def test_paged_append_overflow_is_inert():
         np.asarray(c.k_pages)[t0[0, 0], 0, page - 1],
         np.asarray(ks[cap - 1, 0, 0, 0], np.float32),
     )
+
+
+def test_page_allocator_admission_eviction():
+    """Host-side page churn: both slots get allocator-assigned page runs
+    (slot 0 deliberately SHUFFLED/non-contiguous), fill + attend match the
+    oracle; exhaustion returns None; double-free rejected; released pages
+    are re-acquirable."""
+    from ffpa_attn_tpu.ops.paged import (
+        PageAllocator, assign_sequence, fill_from_prefill,
+    )
+
+    b, hkv, hq, d, page = 2, 1, 2, 320, 128
+    cache = PagedKVCache.alloc(b, 256, hkv, d, page_size=page)  # 4 pages + null
+    alloc = PageAllocator(num_pages=1 + 4, reserved=1)
+
+    first = alloc.acquire(2)
+    second = alloc.acquire(2)
+    assert first is not None and second is not None
+    assert alloc.acquire(1) is None  # pool exhausted
+
+    # Slot 0 walks its pages in DECREASING pool order (non-contiguous walk);
+    # slot 1 in natural order. No page is shared between slots.
+    cache = assign_sequence(cache, 0, list(reversed(first)))
+    cache = assign_sequence(cache, 1, second)
+    assert int(cache.lens[0]) == 0 and int(cache.lens[1]) == 0
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    n = page + 40  # spans both pages of each slot
+    fk = jax.random.normal(ks[0], (b, hkv, n, d), jnp.bfloat16)
+    fv = jax.random.normal(ks[1], (b, hkv, n, d), jnp.bfloat16)
+    cache = fill_from_prefill(cache, fk, fv, [n, n])
+    q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
+    out = paged_decode_attention(q, cache)
+    for i in range(b):
+        ref = reference_attention(
+            q[i : i + 1], expand_kv_heads(fk[i : i + 1], hq),
+            expand_kv_heads(fv[i : i + 1], hq), None, scale=d**-0.5,
+        )
+        assert _rel(out[i : i + 1], ref) < 5e-2, f"slot {i}"
+
+    # Eviction: release slot 1, double-free rejected, pages re-acquirable.
+    alloc.release(second)
+    with pytest.raises(ValueError):
+        alloc.release(second)
+    assert alloc.acquire(2) is not None
