@@ -171,8 +171,28 @@ def bench_serve_paged(
     )
 
 
+def bench_serve_paged_int8(**kw) -> dict:
+    """int8 KV pools: half the decode stream on the bandwidth-bound step."""
+    from ..models.serving import serve_batch_paged
+
+    kw.setdefault("page_size", 256)
+    return _bench_serve_impl(
+        serve_batch_paged, "serve_paged_int8_tokens_per_s",
+        batch=kw.pop("batch", 4), prompt_len=kw.pop("prompt_len", 1024),
+        gen_len=kw.pop("gen_len", 128), d_model=kw.pop("d_model", 1024),
+        n_layers=kw.pop("n_layers", 4), n_heads=kw.pop("n_heads", 8),
+        n_kv_heads=kw.pop("n_kv_heads", 4), head_dim=kw.pop("head_dim", 512),
+        vocab=kw.pop("vocab", 32000),
+        extra_cfg=f"page{kw['page_size']} int8 ",
+        quantized=True, **kw,
+    )
+
+
 def main(argv=None) -> int:
-    for fn in (bench_train, bench_decode, bench_serve, bench_serve_paged):
+    for fn in (
+        bench_train, bench_decode, bench_serve, bench_serve_paged,
+        bench_serve_paged_int8,
+    ):
         try:
             print(json.dumps(fn()))
         except Exception as exc:

@@ -249,6 +249,7 @@ def serve_batch_paged(
     max_len: int,
     page_size: int = 128,
     pack_to: int | None = None,
+    quantized: bool = False,
 ):
     """Continuous batching over PAGED KV (ops/paged.py) — the vLLM-style
     serving memory: per-layer global page pools + per-sequence page
@@ -278,7 +279,7 @@ def serve_batch_paged(
         fill_from_prefill(
             PagedKVCache.alloc(
                 batch, max_len, cfg.n_kv_heads, cfg.head_dim, page_size,
-                dtype=dense[li]["k"].dtype,
+                dtype=dense[li]["k"].dtype, quantized=quantized,
             ),
             dense[li]["k"], dense[li]["v"], lens,
         )

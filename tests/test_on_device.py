@@ -214,11 +214,13 @@ def test_fp8_ds_handoff_on_device(tpu, monkeypatch):
     assert _rel(r8[0], r16[0]) > 0, "fp8 run suspiciously identical"
 
 
-def test_paged_decode_on_device(tpu):
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_decode_on_device(tpu, quantized):
     """Mosaic gate for the paged decode kernel: the page walk is a
     scalar-prefetch table lookup in the K/V BlockSpec index maps — the
     1-D-flattened pattern documented as stable on v5e (docs/env.md); this
-    proves it on real hardware against the dense decode path."""
+    proves it on real hardware against the dense decode path. The int8
+    variant additionally gates the in-kernel i8->bf16 dequant fold."""
     import dataclasses
 
     from ffpa_attn_tpu import (
@@ -232,7 +234,9 @@ def test_paged_decode_on_device(tpu):
     full_v = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
     q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
 
-    cache = PagedKVCache.alloc(b, 512, hkv, d, page_size=page)
+    cache = PagedKVCache.alloc(
+        b, 512, hkv, d, page_size=page, quantized=quantized
+    )
     # Bulk-fill pages via one jit (per-token python appends would compile
     # max(lens) programs over the tunnel).
     c = jax.jit(

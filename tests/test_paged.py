@@ -272,3 +272,46 @@ def test_page_allocator_admission_eviction():
     with pytest.raises(ValueError):
         alloc.release(second)
     assert alloc.acquire(2) is not None
+
+
+def test_paged_decode_int8_pool():
+    """int8 KV pool (alloc(quantized=True)): halves the decode kernel's
+    HBM stream; per-row symmetric amax scaling keeps error at bf16 levels
+    (int8 values are exact in bf16; dequant folds into [bq, page]-sized
+    multiplies on S and P). Fill + append + attend vs the fp oracle, and
+    vs the bf16 pool (quantization-only delta)."""
+    from ffpa_attn_tpu.ops.paged import fill_from_prefill
+
+    b, hkv, hq, d, page = 2, 2, 8, 320, 128
+    lens = [200, 77]
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    fk = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
+    fv = jax.random.normal(ks[1], (b, hkv, max(lens), d), jnp.bfloat16)
+    q = jax.random.normal(ks[2], (b, hq, 1, d), jnp.bfloat16)
+
+    c8 = fill_from_prefill(
+        PagedKVCache.alloc(b, 512, hkv, d, page_size=page, quantized=True),
+        fk, fv, lens,
+    )
+    assert c8.k_pages.dtype == jnp.int8 and c8.quantized
+    c16 = fill_from_prefill(
+        PagedKVCache.alloc(b, 512, hkv, d, page_size=page), fk, fv, lens
+    )
+
+    # Appends quantize incrementally (both pools get the same token).
+    nk = jax.random.normal(ks[3], (b, hkv, 1, d), jnp.bfloat16)
+    c8 = append_token(c8, nk, nk)
+    c16 = append_token(c16, nk, nk)
+
+    o8 = paged_decode_attention(q, c8)
+    o16 = paged_decode_attention(q, c16)
+    # Quantization-only delta is small.
+    assert _rel(o8, o16) < 2e-2, _rel(o8, o16)
+    for i, n in enumerate(lens):
+        dk = jnp.concatenate([fk[i : i + 1, :, :n], nk[i : i + 1]], axis=2)
+        dv = jnp.concatenate([fv[i : i + 1, :, :n], nk[i : i + 1]], axis=2)
+        ref = reference_attention(
+            q[i : i + 1], expand_kv_heads(dk, hq), expand_kv_heads(dv, hq),
+            None, scale=d**-0.5,
+        )
+        assert _rel(o8[i : i + 1], ref) < 5e-2, f"seq {i}"

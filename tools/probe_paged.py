@@ -42,8 +42,11 @@ def main():
         flush=True,
     )
 
-    for page in (128, 256, 512):
-        cache = PagedKVCache.alloc(b, max_len, hkv, d, page_size=page)
+    for page, quant in ((128, False), (256, False), (512, False),
+                        (256, True), (512, True)):
+        cache = PagedKVCache.alloc(
+            b, max_len, hkv, d, page_size=page, quantized=quant
+        )
         fill = jax.jit(
             lambda cache, ks_, vs_: jax.lax.scan(
                 lambda cc, kv: (append_token(cc, kv[0], kv[1]), 0),
@@ -57,24 +60,30 @@ def main():
         )
         c = dataclasses.replace(c, lens=jnp.asarray(lens, jnp.int32))
 
-        def paged(q_, tbl, lens_, kp, vp, page=page):
-            cc = PagedKVCache(kp, vp, tbl, lens_)
+        def paged(q_, tbl, lens_, kp, vp, *scales, page=page):
+            ks_, vs_ = scales if scales else (None, None)
+            cc = PagedKVCache(kp, vp, tbl, lens_, ks_, vs_)
             return paged_decode_attention(q_, cc)
 
+        extra = (c.k_scales, c.v_scales) if quant else ()
         try:
             t = time_chained(
-                paged, q, c.page_table, c.lens, c.k_pages, c.v_pages, iters=8
+                paged, q, c.page_table, c.lens, c.k_pages, c.v_pages,
+                *extra, iters=8,
             )
-            ragged_gib = (
-                2 * hkv * d * 2 * sum(lens) / 2**30
-            )
+            itemsize = 1 if quant else 2
+            ragged_gib = 2 * hkv * d * itemsize * sum(lens) / 2**30
+            tag = "int8" if quant else "bf16"
             print(
-                f"paged  page={page:4d} lens={lens}: {t:7.3f} ms  "
+                f"paged  page={page:4d} {tag} lens={lens}: {t:7.3f} ms  "
                 f"({ragged_gib / (t / 1e3):6.1f} GiB/s on owned bytes)",
                 flush=True,
             )
         except Exception as exc:
-            print(f"paged  page={page:4d}: FAILED {str(exc)[:140]}", flush=True)
+            print(
+                f"paged  page={page:4d} quant={quant}: FAILED "
+                f"{str(exc)[:140]}", flush=True,
+            )
 
 
 if __name__ == "__main__":
