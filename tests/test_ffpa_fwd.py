@@ -263,3 +263,19 @@ def test_fwd_float16_contract(shape, causal):
         np.asarray(o, np.float32), np.asarray(r, np.float32),
         atol=1e-2, rtol=1e-2,
     )
+
+
+@pytest.mark.parametrize("d", [320, 384, 448, 512, 640, 768, 896, 1024])
+def test_dispatch_shapes_smoke(d):
+    """DISPATCH smoke: the full large-D set must launch and produce finite
+    output at a small N (the reference's DISPATCH_SHAPES HxD cross-product,
+    tests/test_ffpa_fwd.py:42-45 — correctness is covered by the
+    representative CORRECTNESS shapes above; this guards the config ladder
+    and VMEM model across every supported head dim)."""
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (1, 2, 512, d), jnp.bfloat16)
+        for i in range(3)
+    )
+    out = ffpa_attn_func(q, k, v, is_causal=True)
+    assert out.shape == q.shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), d
