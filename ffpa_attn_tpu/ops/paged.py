@@ -266,6 +266,7 @@ def _paged_decode_kernel(
     *,
     scale,
     max_pages,
+    nq,
 ):
     b_idx = pl.program_id(0)
     j = pl.program_id(2)
@@ -295,11 +296,14 @@ def _paged_decode_kernel(
         ) * jnp.float32(scale)
         if ks_ref is not None:
             s = s * ks_ref[0, 0][None, :]
-        # Ragged tail: global column = j*page + col; decode attends all
-        # cached positions < lens[b] (the new token is appended before the
-        # call, giving standard causal decode semantics).
+        # Ragged tail + speculative causality: all nq new tokens are
+        # already appended, so packed row r (query position r % nq, the
+        # t-th NEW token) attends cached positions
+        # < lens[b] - (nq - 1 - t). nq == 1 reduces to cols < lens[b].
         cols = lax.broadcasted_iota(jnp.int32, (bq, page), 1) + j * page
-        s = jnp.where(cols < n_valid, s, DEFAULT_MASK_VALUE)
+        qpos = lax.broadcasted_iota(jnp.int32, (bq, page), 0) % nq
+        limit = n_valid - (nq - 1) + qpos
+        s = jnp.where(cols < limit, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -341,21 +345,24 @@ def paged_decode_attention(
 ):
     """Decode attention over a paged KV cache.
 
-    ``q``: [B, Hq, 1, D] (the CURRENT token's query; its K/V must already
-    be appended via ``append_token``, so it attends positions
-    ``[0, lens[b])`` including itself). GQA inferred from Hq vs the pool's
-    Hkv. Returns [B, Hq, 1, Dv].
+    ``q``: [B, Hq, nq, D] with nq <= 8 (single-token decode or a
+    speculative tail; ALL nq tokens' K/V must already be appended, so the
+    t-th new token attends positions [0, lens[b] - (nq-1) + t) — standard
+    causal decode semantics). GQA inferred from Hq vs the pool's Hkv.
+    Returns [B, Hq, nq, Dv].
     """
     b, hq, nq, d = q.shape
-    assert nq == 1, "paged decode is a single-token kernel"
+    assert nq <= 8, "paged decode handles tiny-Nq (speculative) tiles only"
     num_pages, hkv, page, dv_dim = cache.k_pages.shape
     group = hq // hkv
     if scale is None:
         scale = d ** -0.5
     max_pages = cache.page_table.shape[1]
 
-    # PackGQA rows: row r of the tile is q-head hk*group + r (nq == 1).
-    rows = group
+    # PackGQA rows (ops/decode.py convention): row r of the tile is q-head
+    # hk*group + r // nq at query position r % nq. Padded rows wrap to
+    # valid positions; their outputs are sliced away.
+    rows = group * nq
     bq = cdiv(max(rows, 1), _Q_TILE) * _Q_TILE
     q_packed = q.reshape(b, hkv, rows, d)
     q_p = _pad_dim(q_packed, 2, bq)
@@ -416,6 +423,7 @@ def paged_decode_attention(
         ),
         scale=scale,
         max_pages=max_pages,
+        nq=nq,
     )
     o, _ = pl.pallas_call(
         kernel,

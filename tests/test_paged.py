@@ -315,3 +315,42 @@ def test_paged_decode_int8_pool():
             None, scale=d**-0.5,
         )
         assert _rel(o8[i : i + 1], ref) < 5e-2, f"seq {i}"
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_speculative_tail(quantized):
+    """nq>1 (speculative decoding): all nq new tokens appended, token t
+    attends [0, lens - (nq-1) + t) — matches the dense causal oracle on the
+    equivalent suffix rows."""
+    from ffpa_attn_tpu.ops.paged import fill_from_prefill
+
+    b, hkv, hq, d, page, nq = 2, 2, 4, 320, 128, 4
+    base = [150, 90]
+    ks = jax.random.split(jax.random.PRNGKey(31), 4)
+    fk = jax.random.normal(ks[0], (b, hkv, max(base) + nq, d), jnp.bfloat16)
+    fv = jax.random.normal(ks[1], (b, hkv, max(base) + nq, d), jnp.bfloat16)
+    q = jax.random.normal(ks[2], (b, hq, nq, d), jnp.bfloat16)
+
+    # Cache holds base[b] + nq tokens per sequence (prompt + the tail).
+    cache = fill_from_prefill(
+        PagedKVCache.alloc(b, 256, hkv, d, page_size=page, quantized=quantized),
+        fk, fv, [n + nq for n in base],
+    )
+    out = paged_decode_attention(q, cache)
+    assert out.shape == (b, hq, nq, d)
+
+    for i, n in enumerate(base):
+        total = n + nq
+        # Dense causal oracle over the full prefix; take the last nq rows.
+        qfull = jnp.concatenate(
+            [jnp.zeros((1, hq, total - nq, d), jnp.bfloat16), q[i : i + 1]],
+            axis=2,
+        )
+        ref = reference_attention(
+            qfull,
+            expand_kv_heads(fk[i : i + 1, :, :total], hq),
+            expand_kv_heads(fv[i : i + 1, :, :total], hq),
+            None, is_causal=True, scale=d**-0.5,
+        )[:, :, -nq:]
+        tol = 5e-2 if not quantized else 6e-2
+        assert _rel(out[i : i + 1], ref) < tol, f"seq {i} q={quantized}"
