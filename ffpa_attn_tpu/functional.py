@@ -182,6 +182,11 @@ class AttentionMeta:
     enable_gqa: bool
     forward_backend: Backend = field(default_factory=PallasBackend)
     backward_backend: Backend = field(default_factory=PallasBackend)
+    # Features the reference API rejects (cute/__init__.py:65-125),
+    # implemented natively here: logit soft-capping (0 = off) and the
+    # FlashAttention-style sliding-window band (-1 = unbounded side).
+    softcap: float = 0.0
+    window: tuple = (-1, -1)
 
 
 @dataclass(frozen=True)
@@ -276,6 +281,9 @@ class FFPAAttnMeta:
         is_causal: bool,
         scale: Optional[float],
         enable_gqa: bool,
+        softcap: float = 0.0,
+        window_size=(-1, -1),
+        alibi_slopes=None,
     ):
         """Validate and canonicalize inputs.
 
@@ -283,9 +291,27 @@ class FFPAAttnMeta:
         normalize_attn_mask (functional.py:750-810). Returns
         ``(meta, query, key, value, bias)`` with ``bias`` an additive fp32
         bias (or None) reshaped to 4-D with broadcast dims kept compact.
+        ``softcap`` / ``window_size`` / ``alibi_slopes`` are the extension
+        features (validated here, carried on the meta / passed alongside).
         """
         if not (0.0 <= dropout_p < 1.0):
             raise ValueError(f"dropout_p must be in [0, 1), got {dropout_p}")
+        if softcap is None:
+            softcap = 0.0
+        if softcap < 0.0:
+            raise ValueError(f"softcap must be >= 0, got {softcap}")
+        try:
+            wl, wr = int(window_size[0]), int(window_size[1])
+        except (TypeError, IndexError):
+            raise ValueError(
+                f"window_size must be a (left, right) pair of ints, got "
+                f"{window_size!r}"
+            ) from None
+        if wl < -1 or wr < -1:
+            raise ValueError(
+                f"window_size entries must be >= -1 (-1 = unbounded), got "
+                f"({wl}, {wr})"
+            )
         if query.dtype not in _SUPPORTED_DTYPES:
             raise TypeError(
                 f"query dtype must be float16 or bfloat16, got {query.dtype}"
@@ -329,6 +355,21 @@ class FFPAAttnMeta:
                 f"is_causal=True requires Nkv >= Nq (tail-aligned causal), "
                 f"got Nq={nq}, Nkv={nkv}"
             )
+        if (wl >= 0 or wr >= 0) and nkv < nq:
+            # The band is anchored to the tail-aligned diagonal; with
+            # Nq > Nkv early query rows would attend nothing (their window
+            # lies entirely before the sequence) — reject like causal does.
+            raise ValueError(
+                f"window_size requires Nkv >= Nq (tail-aligned band), got "
+                f"Nq={nq}, Nkv={nkv}"
+            )
+        if alibi_slopes is not None:
+            ashape = tuple(alibi_slopes.shape)
+            if ashape not in ((hq,), (b, hq)):
+                raise ValueError(
+                    f"alibi_slopes must have shape ({hq},) or ({b}, {hq}), "
+                    f"got {ashape}"
+                )
         if scale is None:
             scale = 1.0 / math.sqrt(d)
 
@@ -345,6 +386,8 @@ class FFPAAttnMeta:
             enable_gqa=bool(enable_gqa),
             forward_backend=self.forward_backend or PallasBackend(),
             backward_backend=self.backward_backend or PallasBackend(),
+            softcap=float(softcap),
+            window=(wl, wr),
         )
         return meta, query, key, value, bias
 

@@ -31,7 +31,7 @@ logger = init_logger(__name__)
 
 def _sdpa_fallback(
     query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa,
-    dropout_seed=0,
+    dropout_seed=0, softcap=0.0, window_size=(-1, -1), alibi_slopes=None,
 ):
     """XLA-composite SDPA used for fallback shapes.
 
@@ -64,6 +64,9 @@ def _sdpa_fallback(
         scale=scale,
         dropout_p=dropout_p,
         dropout_seed=dropout_seed,
+        softcap=softcap or 0.0,
+        window=tuple(window_size),
+        alibi_slopes=alibi_slopes,
     )
 
 
@@ -96,13 +99,34 @@ def ffpa_attn_func(
       scale: defaults to 1/sqrt(D).
       enable_gqa: opt into GQA/MQA semantics.
       **kwargs: ``backend`` / ``forward_backend`` / ``backward_backend``
-        (str or Backend instance) and ``dropout_seed``. Anything else raises
-        TypeError.
+        (str or Backend instance), ``dropout_seed``, plus the extension
+        features the GPU reference rejects (cute/__init__.py:65-125) but
+        FFPA-TPU implements natively:
+
+        * ``softcap`` (float, 0 = off): logit soft-capping
+          ``s = cap * tanh(s / cap)`` applied to the scaled scores before
+          bias and masking (Gemma-2-style; FlashAttention ``softcap``).
+        * ``window_size`` ((left, right) ints, -1 = unbounded): sliding-
+          window attention around the tail-aligned diagonal — row at
+          position p attends cols in ``[p - left, p + right]``. Composes
+          with ``is_causal`` (right clamps to 0). Out-of-band tiles are
+          skipped in compute AND bandwidth, so cost is O(N·W).
+        * ``alibi_slopes`` ([Hq] or [B, Hq] fp32): ALiBi position bias
+          ``-slope * |p - col|`` computed in-kernel (no N^2 bias tensor).
+
+        Anything else raises TypeError.
 
     Returns:
       ``[B, Nh_q, Nq, Dv]`` attention output in input dtype.
     """
     dropout_seed = kwargs.pop("dropout_seed", 0)
+    softcap = kwargs.pop("softcap", 0.0) or 0.0
+    window_size = kwargs.pop("window_size", (-1, -1))
+    if isinstance(window_size, int):
+        window_size = (window_size, window_size)
+    alibi_slopes = kwargs.pop("alibi_slopes", None)
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
     meta = FFPAAttnMeta.from_kwargs(**kwargs)
     if meta.fallback(query, key, attn_mask, dropout_p):
         return _sdpa_fallback(
@@ -115,9 +139,13 @@ def ffpa_attn_func(
             scale,
             enable_gqa,
             dropout_seed,
+            softcap=softcap,
+            window_size=window_size,
+            alibi_slopes=alibi_slopes,
         )
     ameta, query, key, value, bias = meta.normalize(
-        query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa
+        query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa,
+        softcap=softcap, window_size=window_size, alibi_slopes=alibi_slopes,
     )
     if query.dtype == jnp.float16:
         # TPU MXU/Mosaic has no native f16; the core computes in bf16 with
@@ -132,9 +160,13 @@ def ffpa_attn_func(
             "accumulation unchanged); outputs are cast back to float16"
         )
         return apply_attention(
-            ameta, query, key, value, bias, dropout_seed, precise_pv=True
+            ameta, query, key, value, bias, dropout_seed, precise_pv=True,
+            alibi_slopes=alibi_slopes,
         )
-    return apply_attention(ameta, query, key, value, bias, dropout_seed)
+    return apply_attention(
+        ameta, query, key, value, bias, dropout_seed,
+        alibi_slopes=alibi_slopes,
+    )
 
 
 def ffpa_attn_varlen_func(
@@ -200,6 +232,13 @@ def _dpa_compatible_ffpa(query, key, value, bias=None, mask=None, *args, **kwarg
     is_causal = kwargs.pop("is_causal", False)
     scale = kwargs.pop("scale", None)
     implementation = kwargs.pop("implementation", None)
+    # jax.nn.dot_product_attention's local_window_size maps 1:1 onto FFPA's
+    # window_size for self-attention (same inclusive [p-left, p+right]
+    # band; int means symmetric). Cross shapes keep the stock semantics.
+    local_window = kwargs.pop("local_window_size", None)
+    if local_window is not None and query.shape[1] != key.shape[1]:
+        kwargs["local_window_size"] = local_window
+        local_window = None
     passthrough = {k: v for k, v in kwargs.items() if v is not None}
     if args or passthrough or implementation not in (None, "xla"):
         original = _ORIG_DPA or _IMPORT_TIME_DPA
@@ -233,6 +272,13 @@ def _dpa_compatible_ffpa(query, key, value, bias=None, mask=None, *args, **kwarg
     elif mask is not None:
         attn_mask = mask
     enable_gqa = q.shape[1] != k.shape[1]
+    extra = {}
+    if local_window is not None:
+        extra["window_size"] = (
+            (local_window, local_window)
+            if isinstance(local_window, int)
+            else tuple(local_window)
+        )
     out = ffpa_attn_func(
         q,
         k,
@@ -241,6 +287,7 @@ def _dpa_compatible_ffpa(query, key, value, bias=None, mask=None, *args, **kwarg
         is_causal=is_causal,
         scale=scale,
         enable_gqa=enable_gqa,
+        **extra,
     )
     return jnp.swapaxes(out, 1, 2)
 

@@ -46,6 +46,14 @@ class StaticArgs:
     # Hi+lo-split P for the dV matmul (float16-origin inputs: the 1e-2
     # contract needs finer P rounding than bf16 gives; flash_bwd.py).
     precise_pv: bool = False
+    # Logit soft-capping cap*tanh(s/cap) (0 = off) and sliding-window
+    # (left, right) band (-1 = unbounded) — features the reference rejects
+    # (cute/__init__.py:65-125), implemented TPU-natively here.
+    softcap: float = 0.0
+    window: tuple = (-1, -1)
+    # Whether an alibi_slopes tensor rides along (the tensor itself is a
+    # traced argument of the core op, not a static).
+    has_alibi: bool = False
 
 
 def _to_compute_dtype(q, k, v):
@@ -63,7 +71,7 @@ def _to_compute_dtype(q, k, v):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
+def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, seed):
     q, k, v, was_f16 = _to_compute_dtype(q, k, v)
     o, _ = flash_attention_forward(
         q,
@@ -75,8 +83,16 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, seed):
         dropout_p=static.dropout_p,
         dropout_seed=seed,
         config=static.fwd_config,
+        softcap=static.softcap,
+        window=static.window,
+        alibi_slopes=alibi,
     )
     return o.astype(jnp.float16) if was_f16 else o
+
+
+def _window_active(static: StaticArgs) -> bool:
+    wl, wr = static.window
+    return wl >= 0 or (not static.is_causal and wr >= 0)
 
 
 def _resident_head_count(static: StaticArgs, q, k, v, bias) -> int:
@@ -97,6 +113,14 @@ def _resident_head_count(static: StaticArgs, q, k, v, bias) -> int:
     hq = q.shape[1]
     group = hq // k.shape[1]
     if static.backward_is_sdpa:
+        return 0
+    if _window_active(static):
+        # Out-of-band S tiles are never written; the band-skipping
+        # recompute backward is the right scheme for windows anyway.
+        return 0
+    if static.softcap > 0.0 and (bias is not None or static.has_alibi):
+        # The from-S tanh chain factor is recoverable only when the saved
+        # S carries no additive terms.
         return 0
     if static.save_scores is not None:
         if static.save_scores and q.dtype == jnp.float16:
@@ -181,7 +205,7 @@ def _slice_bias_heads(bias, lo, hi):
     return bias[:, lo:hi]
 
 
-def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
+def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, seed):
     m = _resident_head_count(static, q, k, v, bias)
     hq = q.shape[1]
     group = hq // k.shape[1]
@@ -193,6 +217,8 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
         dropout_p=static.dropout_p,
         dropout_seed=seed,
         config=static.fwd_config,
+        softcap=static.softcap,
+        window=static.window,
     )
     if 0 < m < hq:
         # Partial head residency: heads [0, m) emit S, the rest don't. Two
@@ -203,25 +229,35 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, seed):
         o1, lse1, scores = fwd(
             q[:, :m], k[:, :mk], v[:, :mk],
             _slice_bias_heads(bias, 0, m), return_scores=True,
+            alibi_slopes=_slice_alibi_heads(alibi, 0, m),
         )
         o2, lse2 = fwd(
-            q[:, m:], k[:, mk:], v[:, mk:], _slice_bias_heads(bias, m, hq)
+            q[:, m:], k[:, mk:], v[:, mk:], _slice_bias_heads(bias, m, hq),
+            alibi_slopes=_slice_alibi_heads(alibi, m, hq),
         )
         o = jnp.concatenate([o1, o2], axis=1)
         lse = jnp.concatenate([lse1, lse2], axis=1)
     elif m == hq:
-        o, lse, scores = fwd(q, k, v, bias, return_scores=True)
+        o, lse, scores = fwd(
+            q, k, v, bias, return_scores=True, alibi_slopes=alibi
+        )
     else:
-        (o, lse), scores = fwd(q, k, v, bias), None
+        (o, lse), scores = fwd(q, k, v, bias, alibi_slopes=alibi), None
     out = o.astype(jnp.float16) if was_f16 else o
-    return out, (q, k, v, bias, o, lse, seed, scores)
+    return out, (q, k, v, bias, alibi, o, lse, seed, scores)
+
+
+def _slice_alibi_heads(alibi, lo, hi):
+    if alibi is None:
+        return None
+    return alibi[..., lo:hi]
 
 
 def _core_bwd(static: StaticArgs, residuals, do):
     # Residual q/k/v are in COMPUTE dtype (bf16); ``do`` arrives in the
     # PRIMAL dtype — unrounded f16 for fp16 users, which the backward's
     # hi+lo dO split needs (flash_bwd._dv_accumulate).
-    q, k, v, bias, o, lse, seed, scores = residuals
+    q, k, v, bias, alibi, o, lse, seed, scores = residuals
     was_f16 = do.dtype == jnp.float16
     if static.backward_is_sdpa:
         # fp32 recompute path: numerically the reference oracle's own vjp.
@@ -239,6 +275,9 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 scale=static.scale,
                 dropout_p=static.dropout_p,
                 dropout_seed=seed,
+                softcap=static.softcap,
+                window=static.window,
+                alibi_slopes=alibi,
             )
 
         _, vjp = jax.vjp(_ref, q, k, v, bias)
@@ -257,6 +296,8 @@ def _core_bwd(static: StaticArgs, residuals, do):
             grad_q_storage_dtype=static.grad_q_storage_dtype,
             ds_handoff=static.ds_handoff,
             precise_pv=static.precise_pv,
+            softcap=static.softcap,
+            window=static.window,
         )
         hq = q.shape[1]
         if scores is not None and scores.shape[1] < hq:
@@ -269,11 +310,13 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 q[:, :m], k[:, :mk], v[:, :mk],
                 _slice_bias_heads(bias, 0, m),
                 o[:, :m], lse[:, :m], do[:, :m], scores=scores,
+                alibi_slopes=_slice_alibi_heads(alibi, 0, m),
             )
             dq2, dk2, dv2, db2 = bwd(
                 q[:, m:], k[:, mk:], v[:, mk:],
                 _slice_bias_heads(bias, m, hq),
                 o[:, m:], lse[:, m:], do[:, m:], scores=None,
+                alibi_slopes=_slice_alibi_heads(alibi, m, hq),
                 # The resident S slab is live while this half runs; its
                 # bytes must come out of the dS-handoff slab headroom.
                 extra_resident_bytes=scores.size * scores.dtype.itemsize,
@@ -290,7 +333,9 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 else:
                     dbias = jnp.concatenate([db1, db2], axis=1)
         else:
-            dq, dk, dv, dbias = bwd(q, k, v, bias, o, lse, do, scores=scores)
+            dq, dk, dv, dbias = bwd(
+                q, k, v, bias, o, lse, do, scores=scores, alibi_slopes=alibi
+            )
     if was_f16:
         # Cotangents return in the primal's f16 unless an explicit grad
         # storage dtype was requested.
@@ -299,7 +344,9 @@ def _core_bwd(static: StaticArgs, residuals, do):
         if static.grad_kv_storage_dtype is None:
             dk = dk.astype(jnp.float16)
             dv = dv.astype(jnp.float16)
-    return dq, dk, dv, dbias, None
+    # ALiBi slopes are positional hyperparameters, not weights: zero grad.
+    dalibi = None if alibi is None else jnp.zeros_like(alibi)
+    return dq, dk, dv, dbias, dalibi, None
 
 
 ffpa_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -353,6 +400,7 @@ def apply_attention(
     bias,
     dropout_seed=0,
     precise_pv: bool = False,
+    alibi_slopes=None,
 ):
     """Dispatch a normalized attention call to the core op.
 
@@ -362,13 +410,27 @@ def apply_attention(
     """
     fwd_be = meta.forward_backend
     bwd_be = meta.backward_backend
+    softcap = float(getattr(meta, "softcap", 0.0) or 0.0)
+    window = tuple(getattr(meta, "window", (-1, -1)))
+    features = (
+        softcap > 0.0
+        or window[0] >= 0
+        or (not meta.is_causal and window[1] >= 0)
+        or alibi_slopes is not None
+    )
+    alibi = None
+    if alibi_slopes is not None:
+        alibi = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi.ndim == 1:
+            alibi = jnp.broadcast_to(alibi[None], (q.shape[0], q.shape[1]))
 
     nq = q.shape[2]
-    if nq <= 8 and meta.dropout_p == 0.0:
+    if nq <= 8 and meta.dropout_p == 0.0 and not features:
         # Decode fast path — covers speculative decoding (Nq 2..8) as well
         # as plain Nq=1 (the kernel pads Q to one 16-row sublane tile
         # either way). Grads route through the dense kernels via its
-        # custom_vjp.
+        # custom_vjp. Feature calls (softcap/window/alibi) take the dense
+        # kernel, which handles Nq<=8 by padding.
         from .decode import decode_attention_supported, decode_attention
 
         if decode_attention_supported(q, k):
@@ -428,5 +490,8 @@ def apply_attention(
         ds_handoff=ds_handoff,
         save_scores=save_scores,
         precise_pv=precise_pv,
+        softcap=softcap,
+        window=window,
+        has_alibi=alibi is not None,
     )
-    return ffpa_attention_core(static, q, k, v, bias, dropout_seed)
+    return ffpa_attention_core(static, q, k, v, bias, alibi, dropout_seed)

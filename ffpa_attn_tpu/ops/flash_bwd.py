@@ -102,11 +102,18 @@ def _recompute_ds(
     bias=None,
     col_offset=0,
     row_offset=0,
+    softcap=0.0,
+    window_left=-1,
+    window_right=-1,
+    alibi_slope=None,
 ):
-    """Shared tile math: returns (p_dropped, ds) both (bq, bkv) fp32.
+    """Shared tile math: returns (p_dropped, ds, ds_qk), all (bq, bkv) fp32.
 
     ``p_dropped`` is the dropout-applied normalized probability used for dV;
-    ``ds`` is the pre-scale score gradient (also the bias gradient).
+    ``ds`` is the post-bias score gradient (== the bias gradient);
+    ``ds_qk`` is the gradient w.r.t. the raw scaled logits — identical to
+    ``ds`` unless softcap is active, in which case it carries the
+    ``1 - tanh^2`` chain factor and is what the dK/dQ matmuls must consume.
     ``col_offset``/``row_offset`` map local tile coordinates back to GLOBAL
     sequence positions for the dropout hash when the launch covers a
     KV-stripe / Q-row slice of the full problem.
@@ -117,13 +124,29 @@ def _recompute_ds(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * jnp.float32(scale)
-    if bias is not None:
-        s = s + jnp.broadcast_to(bias.astype(jnp.float32), s.shape)
+    cap_factor = None
+    if softcap > 0.0:
+        cap = jnp.float32(softcap)
+        s = cap * jnp.tanh(s / cap)
+        # d(cap*tanh(u/cap))/du = 1 - (s/cap)^2, from the capped value
+        # itself — no extra transcendental.
+        cap_factor = 1.0 - jnp.square(s / cap)
 
     rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + row_start
     cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + col_start
-    if causal:
-        s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+    if alibi_slope is not None:
+        dist = jnp.abs(rows + causal_offset - cols).astype(jnp.float32)
+        s = s - alibi_slope * dist
+    if bias is not None:
+        s = s + jnp.broadcast_to(bias.astype(jnp.float32), s.shape)
+
+    wr_eff = 0 if causal else window_right
+    if causal or window_right >= 0:
+        s = jnp.where(cols <= rows + causal_offset + wr_eff, s, DEFAULT_MASK_VALUE)
+    if window_left >= 0:
+        s = jnp.where(
+            cols >= rows + causal_offset - window_left, s, DEFAULT_MASK_VALUE
+        )
     if kv_padded:
         s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
 
@@ -155,7 +178,8 @@ def _recompute_ds(
         dp_eff = dp
 
     ds = p * (dp_eff - delta_row)
-    return p_dropped, ds
+    ds_qk = ds if cap_factor is None else ds * cap_factor
+    return p_dropped, ds, ds_qk
 
 
 # ---------------------------------------------------------------------------
@@ -165,6 +189,7 @@ def _recompute_ds(
 
 def _dkdv_kernel(
     seed_ref,
+    alibi_ref,  # optional SMEM (B, Hq) f32
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, bkv, D)
     v_ref,  # (1, 1, bkv, Dv)
@@ -194,6 +219,10 @@ def _dkdv_kernel(
     row_offset=0,
     group=1,
     precise_pv=False,
+    softcap=0.0,
+    window_left=-1,
+    window_right=-1,
+    has_alibi=False,
 ):
     # Grid: (B, Hkv, kv-tiles, group*q-tiles) — the GQA group streams
     # through the SAME kv owner cell, so dK/dV accumulate across the whole
@@ -216,10 +245,15 @@ def _dkdv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    if causal:
-        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
-    else:
-        should_run = True
+    wr_eff = 0 if causal else window_right
+    should_run = True
+    if causal or window_right >= 0:
+        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset + wr_eff
+    if window_left >= 0:
+        should_run = jnp.logical_and(
+            should_run,
+            (j + 1) * bkv - 1 >= i * bq + causal_offset - window_left,
+        )
 
     @pl.when(should_run)
     def _compute():
@@ -231,7 +265,7 @@ def _dkdv_kernel(
         delta_row = delta_ref[0, 0, 0][:, None]
         bias = bias_ref[0, 0] if has_bias else None
 
-        p_dropped, ds = _recompute_ds(
+        p_dropped, _, ds_qk = _recompute_ds(
             q,
             k,
             v,
@@ -254,14 +288,19 @@ def _dkdv_kernel(
             bias=bias,
             col_offset=col_offset,
             row_offset=row_offset,
+            softcap=softcap,
+            window_left=window_left,
+            window_right=window_right,
+            alibi_slope=alibi_ref[b_idx, h_idx] if has_alibi else None,
         )
 
         # dV += P_drop^T @ dO   — (bkv, bq) @ (bq, Dv)
         do_lo = do_lo_ref[0, 0] if do_lo_ref is not None else None
         _dv_accumulate(dv_scr, p_dropped, do, precise_pv, do_lo=do_lo)
-        # dK += scale * dS^T @ Q
+        # dK += scale * dS^T @ Q   (ds_qk carries the softcap chain factor;
+        # identical to the bias gradient dS when softcap is off)
         dk_scr[...] += jnp.float32(scale) * lax.dot_general(
-            ds.astype(q.dtype),
+            ds_qk.astype(q.dtype),
             q,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -269,7 +308,10 @@ def _dkdv_kernel(
         if emit_ds:
             # Handoff: the dQ pass becomes a pure XLA matmul over dS.
             # Same bf16 rounding the dQ kernel applies before its dS @ K.
-            ds_ref[0, 0] = ds.astype(ds_ref.dtype)
+            # With softcap the slab holds ds_qk — exactly what dQ = dS @ K
+            # needs; dbias-from-slab callers are gated off when softcap is
+            # active with a bias (flash_attention_backward).
+            ds_ref[0, 0] = ds_qk.astype(ds_ref.dtype)
 
     if emit_ds and causal:
         # Skipped above-diagonal tiles must still define their dS block.
@@ -319,6 +361,7 @@ def _dkdv_from_s_kernel(
     group=1,
     precise_pv=False,
     dk_in_kernel=True,
+    softcap=0.0,
 ):
     b_idx = pl.program_id(0)
     hk_idx = pl.program_id(1)
@@ -375,6 +418,13 @@ def _dkdv_from_s_kernel(
             dp_eff = dp
 
         ds = p * (dp_eff - delta_row)
+        if softcap > 0.0:
+            # The saved S is the post-cap value (callers gate S-residency
+            # off when softcap combines with bias/alibi, so s here is
+            # exactly cap*tanh(raw/cap)); recover the chain factor from it.
+            # Masked entries: (DMV/cap)^2 -> inf, 1-inf -> -inf, max -> 0.
+            cap = jnp.float32(softcap)
+            ds = ds * jnp.maximum(1.0 - jnp.square(s / cap), 0.0)
 
         _dv_accumulate(dv_scr, p_dropped, do, precise_pv)
         if dk_in_kernel:
@@ -425,7 +475,7 @@ def _adapt_from_s(kernel, dk_in_kernel: bool):
 def _dkdv_from_s_launch(
     q, v, s_pad, do, lse, delta, seed_arr, config,
     *, scale, is_causal, causal_offset, dropout_p, group,
-    grad_kv_storage_dtype, interpret, precise_pv=False,
+    grad_kv_storage_dtype, interpret, precise_pv=False, softcap=0.0,
 ):
     """Launch the S-resident dK/dV kernel. ``s_pad`` is the forward's padded
     [B, Hq, nq_pad, nkv_pad] residual; its padding dictates the block grid,
@@ -504,6 +554,7 @@ def _dkdv_from_s_launch(
         group=group,
         precise_pv=precise_pv,
         dk_in_kernel=dk_in_kernel,
+        softcap=float(softcap),
     )
 
     ds_map = lambda b_, hk, j, gi: (b_, qh(hk, gi), gi % nqb, j)
@@ -591,6 +642,7 @@ def _fit_blocks_to_scores(config: BlockConfig, nq_pad, nkv_pad, d, dv, dtype):
 
 def _dq_kernel(
     seed_ref,
+    alibi_ref,  # optional SMEM (B, Hq) f32
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, bkv, D)
     v_ref,  # (1, 1, bkv, Dv)
@@ -613,6 +665,10 @@ def _dq_kernel(
     num_kv_blocks,
     has_bias,
     emit_dbias,
+    softcap=0.0,
+    window_left=-1,
+    window_right=-1,
+    has_alibi=False,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -626,10 +682,16 @@ def _dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    if causal:
-        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset
-    else:
-        should_run = True
+    wr_eff = 0 if causal else window_right
+    should_run = True
+    if causal or window_right >= 0:
+        should_run = j * bkv <= (i + 1) * bq - 1 + causal_offset + wr_eff
+    if window_left >= 0:
+        should_run = jnp.logical_and(
+            should_run,
+            (j + 1) * bkv - 1 >= i * bq + causal_offset - window_left,
+        )
+    band = causal or window_left >= 0 or window_right >= 0
 
     @pl.when(should_run)
     def _compute():
@@ -641,7 +703,7 @@ def _dq_kernel(
         delta_row = delta_ref[0, 0, 0][:, None]
         bias = bias_ref[0, 0] if has_bias else None
 
-        _, ds = _recompute_ds(
+        _, ds, ds_qk = _recompute_ds(
             q,
             k,
             v,
@@ -662,20 +724,25 @@ def _dq_kernel(
             row_start=i * bq,
             col_start=j * bkv,
             bias=bias,
+            softcap=softcap,
+            window_left=window_left,
+            window_right=window_right,
+            alibi_slope=alibi_ref[b_idx, h_idx] if has_alibi else None,
         )
 
-        # dQ += scale * dS @ K
+        # dQ += scale * dS @ K   (softcap chain factor folded into ds_qk)
         dq_scr[...] += jnp.float32(scale) * lax.dot_general(
-            ds.astype(k.dtype),
+            ds_qk.astype(k.dtype),
             k,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if emit_dbias:
+            # dBias is the POST-bias score gradient (no softcap factor).
             dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
 
-    if emit_dbias and causal:
-        # Skipped causal tiles must still define their dbias block.
+    if emit_dbias and band:
+        # Skipped out-of-band tiles must still define their dbias block.
         @pl.when(jnp.logical_not(should_run))
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
@@ -719,6 +786,9 @@ def flash_attention_backward(
     scores: Optional[jnp.ndarray] = None,
     precise_pv: bool = False,
     extra_resident_bytes: int = 0,
+    softcap: float = 0.0,
+    window: tuple = (-1, -1),
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ):
     """Three-launch backward. Returns (dq, dk, dv, dbias_or_None).
 
@@ -763,6 +833,35 @@ def flash_attention_backward(
     interpret = use_interpret() if interpret is None else interpret
     seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
 
+    window_left = int(window[0])
+    window_right = -1 if is_causal else int(window[1])
+    window_active = window_left >= 0 or window_right >= 0
+    alibi = None
+    if alibi_slopes is not None:
+        alibi = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi.ndim == 1:
+            alibi = jnp.broadcast_to(alibi[None], (b, hq))
+    if window_active and scores is not None:
+        raise ValueError(
+            "S-resident backward is not defined for sliding windows "
+            "(out-of-band S tiles are never written); callers gate "
+            "save_scores off (ops/attention.py)"
+        )
+    if softcap > 0.0 and scores is not None and (
+        bias is not None or alibi is not None
+    ):
+        raise ValueError(
+            "S-resident backward with softcap requires a bias/alibi-free "
+            "call (the tanh chain factor is recovered from the saved S)"
+        )
+    if window_active or (
+        softcap > 0.0 and (bias is not None or alibi is not None)
+    ):
+        # Sliding windows want the band-skipping recompute kernels (an N^2
+        # dS slab defeats the O(N*W) point); softcap+bias needs the in-
+        # kernel split of ds (bias grad) vs ds_qk (matmul grad).
+        ds_handoff = False
+
     # Preprocess: delta = rowsum(dO * O) — XLA-fused (reference launch 1,
     # triton/_ffpa_bwd.py:2275-2322). Computed BEFORE any dO cast so f16
     # cotangents contribute exactly.
@@ -789,7 +888,7 @@ def flash_attention_backward(
             scale=scale, is_causal=is_causal, causal_offset=causal_offset,
             dropout_p=dropout_p, group=group,
             grad_kv_storage_dtype=grad_kv_storage_dtype,
-            interpret=interpret, precise_pv=precise_pv,
+            interpret=interpret, precise_pv=precise_pv, softcap=softcap,
         )
         dq_dtype = _grad_dtype(grad_q_storage_dtype, q.dtype)
         if dk is None:
@@ -939,6 +1038,7 @@ def flash_attention_backward(
                 grad_kv_storage_dtype=grad_kv_storage_dtype,
                 interpret=interpret, emit_ds=True, col_offset=lo,
                 row_offset=row_start, precise_pv=precise_pv, do_lo=do_lo_s,
+                softcap=softcap, alibi=alibi,
             )
             dk_parts.append(dk_s)
             dv_parts.append(dv_s)
@@ -1013,7 +1113,7 @@ def flash_attention_backward(
             dropout_p=dropout_p, group=group,
             grad_kv_storage_dtype=grad_kv_storage_dtype,
             interpret=interpret, emit_ds=False, precise_pv=precise_pv,
-            do_lo=do_lo,
+            do_lo=do_lo, softcap=softcap, window=window, alibi=alibi,
         )
     else:
         dk = dv = None
@@ -1024,7 +1124,7 @@ def flash_attention_backward(
             scale=scale, is_causal=is_causal, causal_offset=causal_offset,
             dropout_p=dropout_p, group=group,
             grad_q_storage_dtype=grad_q_storage_dtype,
-            interpret=interpret,
+            interpret=interpret, softcap=softcap, window=window, alibi=alibi,
         )
     else:
         dq = dbias = None
@@ -1343,6 +1443,7 @@ def _dkdv_launch(
     *, scale, is_causal, causal_offset, dropout_p, group,
     grad_kv_storage_dtype, interpret, emit_ds=False, col_offset=0,
     row_offset=0, precise_pv=False, do_lo=None,
+    softcap=0.0, window=(-1, -1), alibi=None,
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -1366,14 +1467,30 @@ def _dkdv_launch(
     )
 
     nqb = num_q_blocks
+    window_left = int(window[0])
+    window_right = -1 if is_causal else int(window[1])
+    upper_band = is_causal or window_right >= 0
+    wr_eff = 0 if is_causal else window_right
 
-    if is_causal:
-        # Clamp the streamed Q index to the first tile that attends this KV
-        # tile — Pallas elides DMAs for the (masked) repeats; same trick as
-        # the forward KV clamp.
+    if upper_band or window_left >= 0:
+        # Clamp the streamed Q index to the band of tiles that attend this
+        # KV tile — Pallas elides DMAs for the (masked) repeats; same trick
+        # as the forward KV clamp, with a lower bound for sliding windows.
         def qi_index(j, i, bq=bq, bkv=bkv, off=causal_offset):
-            i_min = jnp.maximum(0, -(-(j * bkv + 1 - off) // bq) - 1)
-            return jnp.maximum(i, i_min)
+            ii = i
+            if upper_band:
+                i_min = jnp.maximum(
+                    0, -(-(j * bkv + 1 - off - wr_eff) // bq) - 1
+                )
+                ii = jnp.maximum(ii, i_min)
+            if window_left >= 0:
+                i_max = jnp.clip(
+                    ((j + 1) * bkv - 1 + window_left - off) // bq,
+                    0,
+                    nqb - 1,
+                )
+                ii = jnp.minimum(ii, i_max)
+            return ii
 
     else:
 
@@ -1392,8 +1509,13 @@ def _dkdv_launch(
         (1, 1, bq, dv_dim),
         lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0),
     )
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+    has_alibi = alibi is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [seed_arr]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq) f32
+        inputs.append(alibi)
+    in_specs += [
         pl.BlockSpec(
             (1, 1, bq, d), lambda b_, hk, j, gi: (b_, qh(hk, gi), qi(j, gi), 0)
         ),
@@ -1401,7 +1523,7 @@ def _dkdv_launch(
         pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j, gi: (b_, hk, j, 0)),
         do_spec,
     ]
-    inputs = [seed_arr, q_p, k_p, v_p, do_p]
+    inputs += [q_p, k_p, v_p, do_p]
     has_dolo = do_lo is not None
     if has_dolo:
         in_specs.append(do_spec)
@@ -1425,7 +1547,7 @@ def _dkdv_launch(
         inputs.append(bias_dkdv)
 
     dkdv_kernel = functools.partial(
-        _adapt_dkdv(_dkdv_kernel, has_bias, emit_ds, has_dolo),
+        _adapt_dkdv(_dkdv_kernel, has_bias, emit_ds, has_dolo, has_alibi),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -1441,6 +1563,10 @@ def _dkdv_launch(
         row_offset=row_offset,
         group=group,
         precise_pv=precise_pv,
+        softcap=float(softcap),
+        window_left=window_left,
+        window_right=window_right,
+        has_alibi=has_alibi,
     )
 
     dk_dtype = _grad_dtype(grad_kv_storage_dtype, k.dtype)
@@ -1493,6 +1619,7 @@ def _dq_launch(
     q, k, v, bias, do, lse, delta, seed_arr, config,
     *, scale, is_causal, causal_offset, dropout_p, group,
     grad_q_storage_dtype, interpret,
+    softcap=0.0, window=(-1, -1), alibi=None,
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -1514,20 +1641,37 @@ def _dq_launch(
         bias, bq, bkv, nq_pad, nkv_pad, kv_major=False
     )
     emit_dbias = has_bias
+    window_left = int(window[0])
+    window_right = -1 if is_causal else int(window[1])
+    upper_band = is_causal or window_right >= 0
+    wr_eff = 0 if is_causal else window_right
 
-    if is_causal:
+    if upper_band or window_left >= 0:
 
         def kvj_index(b_, h, i, j, bq=bq, bkv=bkv, off=causal_offset):
-            j_max = ((i + 1) * bq - 1 + off) // bkv
-            return jnp.minimum(j, j_max)
+            jj = j
+            if upper_band:
+                j_max = jnp.maximum(((i + 1) * bq - 1 + off + wr_eff) // bkv, 0)
+                jj = jnp.minimum(jj, j_max)
+            if window_left >= 0:
+                j_min = jnp.clip(
+                    (i * bq + off - window_left) // bkv, 0, num_kv_blocks - 1
+                )
+                jj = jnp.maximum(jj, j_min)
+            return jj
 
     else:
 
         def kvj_index(b_, h, i, j):
             return j
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+    has_alibi = alibi is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [seed_arr]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq) f32
+        inputs.append(alibi)
+    in_specs += [
         pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
         pl.BlockSpec(
             (1, 1, bkv, d),
@@ -1541,13 +1685,13 @@ def _dq_launch(
         pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         pl.BlockSpec((1, 1, 1, bq), lambda b_, h, i, j: (b_, h, 0, i)),
     ]
-    inputs = [seed_arr, q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
+    inputs += [q_p, k_p, v_p, do_p, lse_p[:, :, None, :], delta_p[:, :, None, :]]
     if has_bias:
         in_specs.append(pl.BlockSpec(bias_block_dq, bias_map_dq))
         inputs.append(bias_dq)
 
     dq_kernel = functools.partial(
-        _adapt_dq(_dq_kernel, has_bias, emit_dbias),
+        _adapt_dq(_dq_kernel, has_bias, emit_dbias, has_alibi),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -1559,6 +1703,10 @@ def _dq_launch(
         num_kv_blocks=num_kv_blocks,
         has_bias=has_bias,
         emit_dbias=emit_dbias,
+        softcap=float(softcap),
+        window_left=window_left,
+        window_right=window_right,
+        has_alibi=has_alibi,
     )
 
     out_specs = [pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0))]
@@ -1642,13 +1790,23 @@ def _bias_spec(bias, bq, bkv, nq_pad, nkv_pad, kv_major: bool):
     return bias, tuple(block), index_map
 
 
-def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool, has_dolo: bool = False):
+def _adapt_dkdv(
+    kernel, has_bias: bool, emit_ds: bool, has_dolo: bool = False,
+    has_alibi: bool = False,
+):
     """Map the actual pallas ref list to the full _dkdv_kernel signature."""
 
     @functools.wraps(kernel)
     def wrapped(*refs, **kw):
         refs = list(refs)
-        pos = 5
+        pos = 0
+        seed_ref = refs[pos]
+        pos += 1
+        alibi_ref = refs[pos] if has_alibi else None
+        if has_alibi:
+            pos += 1
+        q_ref, k_ref, v_ref, do_ref = refs[pos : pos + 4]
+        pos += 4
         do_lo_ref = refs[pos] if has_dolo else None
         if has_dolo:
             pos += 1
@@ -1664,20 +1822,28 @@ def _adapt_dkdv(kernel, has_bias: bool, emit_ds: bool, has_dolo: bool = False):
             pos += 1
         dk_scr, dv_scr = refs[pos : pos + 2]
         return kernel(
-            *refs[:5], do_lo_ref, lse_ref, delta_ref, bias_ref,
+            seed_ref, alibi_ref, q_ref, k_ref, v_ref, do_ref,
+            do_lo_ref, lse_ref, delta_ref, bias_ref,
             dk_ref, dv_ref, ds_ref, dk_scr, dv_scr, **kw
         )
 
     return wrapped
 
 
-def _adapt_dq(kernel, has_bias: bool, emit_dbias: bool):
+def _adapt_dq(kernel, has_bias: bool, emit_dbias: bool, has_alibi: bool = False):
     """Map the actual pallas ref list to the full _dq_kernel signature."""
 
     @functools.wraps(kernel)
     def wrapped(*refs, **kw):
         refs = list(refs)
-        pos = 7
+        pos = 0
+        seed_ref = refs[pos]
+        pos += 1
+        alibi_ref = refs[pos] if has_alibi else None
+        if has_alibi:
+            pos += 1
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[pos : pos + 6]
+        pos += 6
         bias_ref = refs[pos] if has_bias else None
         if has_bias:
             pos += 1
@@ -1688,7 +1854,8 @@ def _adapt_dq(kernel, has_bias: bool, emit_dbias: bool):
             pos += 1
         dq_scr = refs[pos]
         return kernel(
-            *refs[:7], bias_ref, dq_ref, dbias_ref, dq_scr, **kw
+            seed_ref, alibi_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+            delta_ref, bias_ref, dq_ref, dbias_ref, dq_scr, **kw
         )
 
     return wrapped

@@ -76,6 +76,7 @@ def _pad_dim(x: jnp.ndarray, axis: int, to: int) -> jnp.ndarray:
 
 def _fwd_kernel(
     seed_ref,  # SMEM (1, 1) int32
+    alibi_ref,  # SMEM (B, Hq) f32 or absent
     q_ref,  # (1, 1, block_q, D)
     k_ref,  # (1, 1, block_kv, D)
     v_ref,  # (1, 1, block_kv, Dv)
@@ -96,6 +97,10 @@ def _fwd_kernel(
     num_kv_blocks: int,
     has_bias: bool,
     emit_scores: bool = False,
+    softcap: float = 0.0,
+    window_left: int = -1,
+    window_right: int = -1,
+    has_alibi: bool = False,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -111,12 +116,21 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Skip tiles entirely above the (tail-aligned) diagonal: the first
-        # col of tile j must be <= the last row of tile i plus the offset.
-        should_run = j * block_kv <= (i + 1) * block_q - 1 + causal_offset
-    else:
-        should_run = True
+    # Band tile skipping. Causal is window_right == 0; an explicit sliding
+    # window additionally bounds columns below (the lever that makes window
+    # attention O(N*W): out-of-band tiles skip compute AND, via the clamped
+    # kv index map, their DMAs).
+    wr_eff = 0 if causal else window_right
+    should_run = True
+    if causal or window_right >= 0:
+        # First col of tile j must be <= last row of tile i + offset + wr.
+        should_run = j * block_kv <= (i + 1) * block_q - 1 + causal_offset + wr_eff
+    if window_left >= 0:
+        # Last col of tile j must be >= first row of tile i + offset - wl.
+        should_run = jnp.logical_and(
+            should_run,
+            (j + 1) * block_kv - 1 >= i * block_q + causal_offset - window_left,
+        )
 
     @pl.when(should_run)
     def _compute():
@@ -130,14 +144,28 @@ def _fwd_kernel(
         )
         s = s * jnp.float32(scale)
 
+        if softcap > 0.0:
+            cap = jnp.float32(softcap)
+            s = cap * jnp.tanh(s / cap)
+
+        rows = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
+        cols = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
+
+        if has_alibi:
+            slope = alibi_ref[b_idx, h_idx]
+            dist = jnp.abs(rows + causal_offset - cols).astype(jnp.float32)
+            s = s - slope * dist
+
         if has_bias:
             bias = bias_ref[0, 0].astype(jnp.float32)
             s = s + jnp.broadcast_to(bias, s.shape)
 
-        rows = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + i * block_q
-        cols = lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + j * block_kv
-        if causal:
-            s = jnp.where(cols <= rows + causal_offset, s, DEFAULT_MASK_VALUE)
+        if causal or window_right >= 0:
+            s = jnp.where(cols <= rows + causal_offset + wr_eff, s, DEFAULT_MASK_VALUE)
+        if window_left >= 0:
+            s = jnp.where(
+                cols >= rows + causal_offset - window_left, s, DEFAULT_MASK_VALUE
+            )
         if kv_padded:
             s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
 
@@ -205,6 +233,9 @@ def flash_attention_forward(
     interpret: Optional[bool] = None,
     return_scores: bool = False,
     scores_dtype=jnp.bfloat16,
+    softcap: float = 0.0,
+    window: tuple = (-1, -1),
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ):
     """Launch the forward kernel.
 
@@ -216,6 +247,10 @@ def flash_attention_forward(
         matrix S as a ``scores_dtype`` [B, Hq, Nq_pad, Nkv_pad] residual
         (PADDED — the from-S backward consumes the padded layout directly).
         This powers the 4-matmul S-resident backward (flash_bwd.py).
+      softcap / window / alibi_slopes: see ``reference_attention`` —
+        logit soft-capping, sliding-window band, per-head ALiBi slopes
+        ([Hq] or [B, Hq] fp32, read from SMEM in-kernel so no N^2 bias
+        tensor is ever materialized).
 
     Returns:
       (o [B, Hq, Nq, Dv] in q.dtype, lse [B, Hq, Nq] fp32)
@@ -225,6 +260,14 @@ def flash_attention_forward(
     _, hkv, nkv, _ = k.shape
     dv = v.shape[-1]
     group = hq // hkv
+    window_left = int(window[0])
+    window_right = -1 if is_causal else int(window[1])
+    if return_scores and (window_left >= 0 or window_right >= 0):
+        raise ValueError(
+            "return_scores is not supported with sliding windows (out-of-"
+            "band S tiles are never written); the caller must gate "
+            "save_scores off for windowed attention"
+        )
 
     if config is None:
         from .dispatch import pick_forward_config
@@ -252,33 +295,49 @@ def flash_attention_forward(
 
     causal_offset = nkv - nq
 
-    if is_causal:
-        # Clamp the streamed KV block index to the last tile any row of this
-        # Q block attends. Pallas elides the DMA when consecutive grid steps
-        # map to the same block, so fully-masked tiles cost neither
-        # bandwidth nor compute (the @pl.when skip) — the bandwidth analog
-        # of the reference's causal tile skipping.
-        def kv_index(b_, h, i, j, g=group):
-            j_max = ((i + 1) * bq - 1 + causal_offset) // bkv
-            return (b_, h // g, jnp.minimum(j, j_max), 0)
+    upper_band = is_causal or window_right >= 0
+    wr_eff = 0 if is_causal else window_right
 
-    else:
+    # Clamp the streamed KV block index to the band any row of this Q block
+    # attends. Pallas elides the DMA when consecutive grid steps map to the
+    # same block, so fully-masked tiles cost neither bandwidth nor compute
+    # (the @pl.when skip) — the bandwidth analog of the reference's causal
+    # tile skipping, extended below the diagonal for sliding windows.
+    def kv_index(b_, h, i, j, g=group):
+        jj = j
+        if upper_band:
+            j_max = jnp.maximum(
+                ((i + 1) * bq - 1 + causal_offset + wr_eff) // bkv, 0
+            )
+            jj = jnp.minimum(jj, j_max)
+        if window_left >= 0:
+            j_min = jnp.clip(
+                (i * bq + causal_offset - window_left) // bkv,
+                0,
+                num_kv_blocks - 1,
+            )
+            jj = jnp.maximum(jj, j_min)
+        return (b_, h // g, jj, 0)
 
-        def kv_index(b_, h, i, j, g=group):
-            return (b_, h // g, j, 0)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None], (b, hq))
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1) int32
+    ]
+    inputs = [jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (B, Hq) f32
+        inputs.append(slopes)
+    in_specs += [
         pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
         pl.BlockSpec((1, 1, bkv, d), kv_index),
         pl.BlockSpec((1, 1, bkv, dv), kv_index),
     ]
-    inputs = [
-        jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1),
-        q_p,
-        k_p,
-        v_p,
-    ]
+    inputs += [q_p, k_p, v_p]
     has_bias = bias is not None
     if has_bias:
         bias_block = [1, 1, 1, 1]
@@ -301,7 +360,7 @@ def flash_attention_forward(
         inputs.append(bias)
 
     kernel = functools.partial(
-        _adapt_fwd(_fwd_kernel, has_bias, return_scores),
+        _adapt_fwd(_fwd_kernel, has_bias, return_scores, has_alibi),
         scale=scale,
         causal=is_causal,
         causal_offset=causal_offset,
@@ -311,6 +370,10 @@ def flash_attention_forward(
         num_kv_blocks=num_kv_blocks,
         has_bias=has_bias,
         emit_scores=return_scores,
+        softcap=float(softcap),
+        window_left=window_left,
+        window_right=window_right,
+        has_alibi=has_alibi,
     )
 
     out_shape = [
@@ -404,13 +467,20 @@ def _fit_fwd_for_scores(config: BlockConfig, d, dv, dtype, has_bias):
     return cfg
 
 
-def _adapt_fwd(kernel, has_bias: bool, emit_scores: bool):
+def _adapt_fwd(kernel, has_bias: bool, emit_scores: bool, has_alibi: bool = False):
     """Map the actual pallas ref list to the full _fwd_kernel signature."""
 
     @functools.wraps(kernel)
     def wrapped(*refs, **kw):
         refs = list(refs)
-        pos = 4
+        pos = 0
+        seed_ref = refs[pos]
+        pos += 1
+        alibi_ref = refs[pos] if has_alibi else None
+        if has_alibi:
+            pos += 1
+        q_ref, k_ref, v_ref = refs[pos : pos + 3]
+        pos += 3
         bias_ref = refs[pos] if has_bias else None
         if has_bias:
             pos += 1
@@ -421,7 +491,8 @@ def _adapt_fwd(kernel, has_bias: bool, emit_scores: bool):
             pos += 1
         m, l, acc = refs[pos : pos + 3]
         return kernel(
-            *refs[:4], bias_ref, o_ref, lse_ref, s_ref, m, l, acc, **kw
+            seed_ref, alibi_ref, q_ref, k_ref, v_ref, bias_ref,
+            o_ref, lse_ref, s_ref, m, l, acc, **kw
         )
 
     return wrapped

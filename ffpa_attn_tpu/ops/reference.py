@@ -69,6 +69,9 @@ def reference_attention(
     dropout_p: float = 0.0,
     dropout_seed: int = 0,
     return_lse: bool = False,
+    softcap: float = 0.0,
+    window: tuple = (-1, -1),
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ):
     """Exact attention with fp32 accumulation.
 
@@ -83,6 +86,16 @@ def reference_attention(
       dropout_p: attention dropout probability in [0, 1).
       dropout_seed: int32 seed for the deterministic keep-mask hash.
       return_lse: also return natural-log LSE [B, Hq, Nq] fp32.
+      softcap: logit soft-capping ``s = cap * tanh(s / cap)`` applied to the
+        scaled scores BEFORE bias/alibi and masking (0 = off). Semantics of
+        FlashAttention's ``softcap`` / splash-attention's ``logits_soft_cap``
+        — the kwarg the reference rejects (cute/__init__.py:65-125).
+      window: ``(left, right)`` sliding-window bounds around the
+        tail-aligned diagonal: row m (position p = m + Nkv - Nq) attends
+        cols in ``[p - left, p + right]``; -1 = unbounded. ``is_causal``
+        composes as right = 0 (FlashAttention ``window_size`` semantics).
+      alibi_slopes: per-head fp32 slopes ``[Hq]`` or ``[B, Hq]``; adds
+        ``-slope * |p - col|`` to the scores (non-differentiable).
 
     Returns:
       out [B, Hq, Nq, Dv] in q.dtype (and lse if requested).
@@ -97,11 +110,30 @@ def reference_attention(
     vf = v.astype(jnp.float32)
 
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * jnp.float32(scale)
+    if softcap and softcap > 0.0:
+        cap = jnp.float32(softcap)
+        s = cap * jnp.tanh(s / cap)
+    offset = nkv - nq
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None], (b_, hq))
+        rows, cols = make_row_col_ids(nq, nkv)
+        dist = jnp.abs(rows + offset - cols).astype(jnp.float32)
+        s = s - slopes[:, :, None, None] * dist[None, None]
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    wl, wr = int(window[0]), int(window[1])
     if is_causal:
-        cm = tail_aligned_causal_mask(nq, nkv)
-        s = jnp.where(cm[None, None], s, DEFAULT_MASK_VALUE)
+        wr = 0
+    if wr >= 0 or wl >= 0:
+        rows, cols = make_row_col_ids(nq, nkv)
+        band = jnp.ones((nq, nkv), bool)
+        if wr >= 0:
+            band = band & (cols <= rows + offset + wr)
+        if wl >= 0:
+            band = band & (cols >= rows + offset - wl)
+        s = jnp.where(band[None, None], s, DEFAULT_MASK_VALUE)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)

@@ -51,20 +51,25 @@ def test_patch_large_d_and_fallback():
 
 
 def test_patch_unsupported_kwargs_route_to_original():
-    """Kwargs FFPA does not implement (e.g. local_window_size) must reach
+    """Kwargs FFPA does not implement (e.g. query_seq_lengths) must reach
     the ORIGINAL jax.nn.dot_product_attention — never be silently dropped
-    (interface.py:_dpa_compatible_ffpa)."""
+    (interface.py:_dpa_compatible_ffpa). local_window_size used to be on
+    this list; it now maps onto the native window path and is covered by
+    tests/test_features.py::test_dpa_patch_local_window_size."""
     q, k, v = _make(1, 256, 2, 320)
+    seqlens = jnp.asarray([200], jnp.int32)
     try:
         ffpa_attn_tpu.patch_dot_product_attention()
         out = jax.nn.dot_product_attention(
-            q, k, v, is_causal=True, local_window_size=(16, 0)
+            q, k, v, is_causal=True, query_seq_lengths=seqlens,
+            key_value_seq_lengths=seqlens,
         )
-        # Stock XLA semantics: windowed causal attention — compare against
-        # the unpatched function directly.
+        # Stock XLA semantics — compare against the unpatched function
+        # directly.
         ffpa_attn_tpu.unpatch_dot_product_attention()
         ref = jax.nn.dot_product_attention(
-            q, k, v, is_causal=True, local_window_size=(16, 0)
+            q, k, v, is_causal=True, query_seq_lengths=seqlens,
+            key_value_seq_lengths=seqlens,
         )
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
