@@ -34,6 +34,7 @@ CASES = (
     "attn-mask",
     "dropout",
     "non-aligned",
+    "sliding-window",
 )
 
 
@@ -49,6 +50,13 @@ class BenchCase:
     causal: bool = False
     mask: bool = False
     dropout_p: float = 0.0
+    window: tuple = (-1, -1)
+
+    @property
+    def window_active(self) -> bool:
+        return self.window[0] >= 0 or (
+            not self.causal and self.window[1] >= 0
+        )
 
 
 def make_case(name: str, b: int, h: int, n: int, d: int) -> BenchCase:
@@ -74,6 +82,16 @@ def make_case(name: str, b: int, h: int, n: int, d: int) -> BenchCase:
         return BenchCase(name, b, h, h, n, n, d, dropout_p=0.1)
     if name == "non-aligned":
         return BenchCase(name, b, h, h, n - 1, n - 1, d)
+    if name == "sliding-window":
+        # Mistral-style causal sliding window at W = N/8: FFPA computes
+        # (and streams) only the band; every stock-XLA baseline still pays
+        # the full N^2 (jax dpa's local_window_size masks but does not
+        # skip). A case the reference cannot run at all (window_size is on
+        # its rejected-kwargs list, cute/__init__.py:65-125).
+        return BenchCase(
+            name, b, h, h, n, n, d, causal=True,
+            window=(max(n // 8, 512), -1),
+        )
     raise ValueError(name)
 
 
@@ -206,6 +224,8 @@ def _ffpa_fwd_fn(case: BenchCase, backend: Optional[str]):
     kwargs = {}
     if backend:
         kwargs["backend"] = backend
+    if case.window_active:
+        kwargs["window_size"] = case.window
 
     def fn(q, k, v, mask):
         return ffpa_attn_func(
@@ -222,7 +242,9 @@ def _ffpa_fwd_fn(case: BenchCase, backend: Optional[str]):
     return fn
 
 
-def _chunked_xla_sdpa(q, k, v, mask, *, causal: bool, chunk: int = 1024):
+def _chunked_xla_sdpa(
+    q, k, v, mask, *, causal: bool, chunk: int = 1024, window=(-1, -1)
+):
     """Query-chunked fp32-softmax attention — the memory-feasible "stock
     XLA" composite JAX users write when the naive composite OOMs at long N
     (flash-free; scores materialized per chunk only)."""
@@ -247,10 +269,15 @@ def _chunked_xla_sdpa(q, k, v, mask, *, causal: bool, chunk: int = 1024):
             if mask.shape[2] != 1:
                 mc = jax.lax.dynamic_slice_in_dim(mask, idx * chunk, chunk, axis=2)
             s = s + mc
-        if causal:
+        wl = int(window[0])
+        wr = 0 if causal else int(window[1])
+        if causal or wr >= 0 or wl >= 0:
             rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, nkv), 0) + idx * chunk
             cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, nkv), 1)
-            s = jnp.where(cols <= rows + offset, s, -1e30)
+            if causal or wr >= 0:
+                s = jnp.where(cols <= rows + offset + (0 if causal else wr), s, -1e30)
+            if wl >= 0:
+                s = jnp.where(cols >= rows + offset - wl, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
@@ -278,13 +305,24 @@ def _sdpa_fwd_fn(case: BenchCase, variant: str):
         k_e = expand_kv_heads(k, hq)
         v_e = expand_kv_heads(v, hq)
         if variant == "chunked":
-            return _chunked_xla_sdpa(q, k_e, v_e, mask, causal=case.causal)
+            return _chunked_xla_sdpa(
+                q, k_e, v_e, mask, causal=case.causal, window=case.window
+            )
+        extra = {}
+        if case.window_active:
+            wl, wr = case.window
+            # jax dpa has no "unbounded" sentinel; >= nkv is equivalent.
+            extra["local_window_size"] = (
+                wl if wl >= 0 else case.nkv,
+                0 if case.causal else (wr if wr >= 0 else case.nkv),
+            )
         out = jax.nn.dot_product_attention(
             jnp.swapaxes(q, 1, 2),
             jnp.swapaxes(k_e, 1, 2),
             jnp.swapaxes(v_e, 1, 2),
             bias=mask,
             is_causal=case.causal,
+            **extra,
         )
         return jnp.swapaxes(out, 1, 2)
 
@@ -481,6 +519,7 @@ def run_case(
         case.d,
         causal=case.causal,
         direction=direction,
+        window=case.window,
     )
     return {
         "case": case.name,

@@ -412,12 +412,6 @@ def apply_attention(
     bwd_be = meta.backward_backend
     softcap = float(getattr(meta, "softcap", 0.0) or 0.0)
     window = tuple(getattr(meta, "window", (-1, -1)))
-    features = (
-        softcap > 0.0
-        or window[0] >= 0
-        or (not meta.is_causal and window[1] >= 0)
-        or alibi_slopes is not None
-    )
     alibi = None
     if alibi_slopes is not None:
         alibi = jnp.asarray(alibi_slopes, jnp.float32)
@@ -425,12 +419,13 @@ def apply_attention(
             alibi = jnp.broadcast_to(alibi[None], (q.shape[0], q.shape[1]))
 
     nq = q.shape[2]
-    if nq <= 8 and meta.dropout_p == 0.0 and not features:
+    if nq <= 8 and meta.dropout_p == 0.0 and alibi is None:
         # Decode fast path — covers speculative decoding (Nq 2..8) as well
         # as plain Nq=1 (the kernel pads Q to one 16-row sublane tile
-        # either way). Grads route through the dense kernels via its
-        # custom_vjp. Feature calls (softcap/window/alibi) take the dense
-        # kernel, which handles Nq<=8 by padding.
+        # either way), including softcap and sliding windows (the window's
+        # KV index clamp makes long-cache windowed decode O(W), the
+        # Mistral/Gemma serving shape). Grads route through the dense
+        # kernels via its custom_vjp. ALiBi decode takes the dense kernel.
         from .decode import decode_attention_supported, decode_attention
 
         if decode_attention_supported(q, k):
@@ -442,6 +437,8 @@ def apply_attention(
                 bias,
                 scale=meta.scale,
                 is_causal=meta.is_causal,
+                softcap=softcap,
+                window=window,
             )
             return out.astype(jnp.float16) if was_f16 else out
 

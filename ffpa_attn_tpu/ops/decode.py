@@ -67,6 +67,9 @@ def _decode_kernel(
     num_kv_blocks,
     has_bias,
     nq,
+    softcap=0.0,
+    window_left=-1,
+    window_right=-1,
 ):
     j = pl.program_id(2)
     bq = q_ref.shape[2]
@@ -78,12 +81,18 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Packed rows carry query positions r % nq <= nq-1; the whole tile
-        # can run whenever the first packed position's band reaches tile j.
-        should_run = j * bkv <= nq - 1 + causal_offset
-    else:
-        should_run = True
+    # Packed rows carry query positions r % nq <= nq-1; the tile runs when
+    # any packed position's band overlaps KV tile j. The sliding-window
+    # lower bound is the serving lever: with W << Nkv only ~W/bkv tiles
+    # compute (and, via the clamped index map, only those DMA).
+    wr_eff = 0 if causal else window_right
+    should_run = True
+    if causal or window_right >= 0:
+        should_run = j * bkv <= nq - 1 + causal_offset + wr_eff
+    if window_left >= 0:
+        should_run = jnp.logical_and(
+            should_run, (j + 1) * bkv - 1 >= causal_offset - window_left
+        )
 
     @pl.when(should_run)
     def _compute():
@@ -92,13 +101,23 @@ def _decode_kernel(
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(scale)
+        if softcap > 0.0:
+            cap = jnp.float32(softcap)
+            s = cap * jnp.tanh(s / cap)
         if has_bias:
             s = s + jnp.broadcast_to(bias_ref[0, 0].astype(jnp.float32), s.shape)
         rows = lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
         qpos = rows % nq  # PackGQA: row r is query position r % nq
         cols = lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
-        if causal:
-            s = jnp.where(cols <= qpos + causal_offset, s, DEFAULT_MASK_VALUE)
+        if causal or window_right >= 0:
+            s = jnp.where(
+                cols <= qpos + causal_offset + wr_eff, s, DEFAULT_MASK_VALUE
+            )
+        if window_left >= 0:
+            s = jnp.where(
+                cols >= qpos + causal_offset - window_left, s,
+                DEFAULT_MASK_VALUE,
+            )
         if kv_padded:
             s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
 
@@ -151,11 +170,15 @@ def _decode_forward(
     is_causal,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    softcap: float = 0.0,
+    window: tuple = (-1, -1),
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
     dv_dim = v.shape[-1]
     group = hq // hkv
+    window_left = int(window[0])
+    window_right = -1 if is_causal else int(window[1])
 
     if block_kv is None:
         block_kv = _decode_block_kv(d, dv_dim, nkv, q.dtype, group=group)
@@ -177,10 +200,35 @@ def _decode_forward(
     # query positions (their outputs are sliced away).
     causal_offset = nkv - nq
 
+    # Sliding window: clamp the streamed KV index into the band so the
+    # out-of-band prefix (the bulk of a long cache when W << Nkv) never
+    # leaves HBM — Pallas elides the repeated-index DMAs.
+    wr_eff = 0 if is_causal else window_right
+    if window_left >= 0 or (not is_causal and window_right >= 0):
+
+        def kv_index(b_, hk, j):
+            jj = j
+            if window_left >= 0:
+                j_min = jnp.clip(
+                    (causal_offset - window_left) // bkv, 0, num_kv_blocks - 1
+                )
+                jj = jnp.maximum(jj, j_min)
+            if is_causal or window_right >= 0:
+                j_max = jnp.maximum(
+                    (nq - 1 + causal_offset + wr_eff) // bkv, 0
+                )
+                jj = jnp.minimum(jj, j_max)
+            return (b_, hk, jj, 0)
+
+    else:
+
+        def kv_index(b_, hk, j):
+            return (b_, hk, j, 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b_, hk, j: (b_, hk, 0, 0)),
-        pl.BlockSpec((1, 1, bkv, d), lambda b_, hk, j: (b_, hk, j, 0)),
-        pl.BlockSpec((1, 1, bkv, dv_dim), lambda b_, hk, j: (b_, hk, j, 0)),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, dv_dim), kv_index),
     ]
     inputs = [q_p, k_p, v_p]
     has_bias = bias is not None
@@ -219,6 +267,9 @@ def _decode_forward(
         num_kv_blocks=num_kv_blocks,
         has_bias=has_bias,
         nq=nq,
+        softcap=float(softcap),
+        window_left=window_left,
+        window_right=window_right,
     )
 
     o, lse_wide = pl.pallas_call(
@@ -257,18 +308,24 @@ def _decode_no_bias(kernel):
     return wrapped
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _decode_core(scale, is_causal, q, k, v, bias):
-    o, _ = _decode_forward(q, k, v, bias, scale=scale, is_causal=is_causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _decode_core(scale, is_causal, softcap, window, q, k, v, bias):
+    o, _ = _decode_forward(
+        q, k, v, bias, scale=scale, is_causal=is_causal,
+        softcap=softcap, window=window,
+    )
     return o
 
 
-def _decode_core_fwd(scale, is_causal, q, k, v, bias):
-    o, lse = _decode_forward(q, k, v, bias, scale=scale, is_causal=is_causal)
+def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias):
+    o, lse = _decode_forward(
+        q, k, v, bias, scale=scale, is_causal=is_causal,
+        softcap=softcap, window=window,
+    )
     return o, (q, k, v, bias, o, lse)
 
 
-def _decode_core_bwd(scale, is_causal, residuals, do):
+def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
     from .flash_bwd import flash_attention_backward
 
     q, k, v, bias, o, lse = residuals
@@ -283,6 +340,8 @@ def _decode_core_bwd(scale, is_causal, residuals, do):
         scale=scale,
         is_causal=is_causal,
         dropout_p=0.0,
+        softcap=softcap,
+        window=window,
     )
     return dq, dk, dv, dbias
 
@@ -290,5 +349,9 @@ def _decode_core_bwd(scale, is_causal, residuals, do):
 _decode_core.defvjp(_decode_core_fwd, _decode_core_bwd)
 
 
-def decode_attention(q, k, v, bias, *, scale, is_causal):
-    return _decode_core(scale, is_causal, q, k, v, bias)
+def decode_attention(
+    q, k, v, bias, *, scale, is_causal, softcap=0.0, window=(-1, -1)
+):
+    return _decode_core(
+        scale, is_causal, float(softcap), tuple(window), q, k, v, bias
+    )

@@ -340,3 +340,49 @@ def test_dpa_patch_local_window_size():
         np.asarray(got, np.float32), np.asarray(expected, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_decode_window_kernel():
+    """Windowed decode goes through the decode fast path: KV index clamps
+    make a long-cache windowed decode O(W) (Mistral serving shape)."""
+    from ffpa_attn_tpu.ops.decode import _decode_forward
+
+    b, hq, hkv, nkv, d = 1, 8, 2, 4096, 512
+    key = jax.random.PRNGKey(20)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, 1, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, nkv, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, nkv, d), jnp.bfloat16)
+    o, _ = _decode_forward(
+        q, k, v, None, scale=d ** -0.5, is_causal=True, window=(512, -1)
+    )
+    ref = reference_attention(
+        q, expand_kv_heads(k, hq), expand_kv_heads(v, hq),
+        is_causal=True, window=(512, -1), scale=d ** -0.5,
+    )
+    _assert_close(o, ref, 3e-2, "decode window")
+
+
+def test_decode_softcap_speculative():
+    """softcap + window through the public API at a speculative tail
+    (Nq=4) — still the decode kernel, grads via the dense kernels."""
+    b, hq, hkv, nkv, d = 1, 4, 2, 2048, 320
+    key = jax.random.PRNGKey(21)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, 4, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, nkv, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, nkv, d), jnp.bfloat16)
+    out = ffpa_attn_func(
+        q, k, v, is_causal=True, enable_gqa=True, softcap=30.0,
+        window_size=(512, -1),
+    )
+    ref = reference_attention(
+        q, expand_kv_heads(k, hq), expand_kv_heads(v, hq),
+        is_causal=True, softcap=30.0, window=(512, -1),
+    )
+    _assert_close(out, ref, 3e-2, "decode spec softcap+window")
+    g = jax.grad(lambda q_: jnp.sum(ffpa_attn_func(
+        q_, k, v, is_causal=True, enable_gqa=True, softcap=30.0,
+        window_size=(512, -1),
+    ).astype(jnp.float32)))(q)
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
