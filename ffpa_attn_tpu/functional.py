@@ -284,6 +284,7 @@ class FFPAAttnMeta:
         softcap: float = 0.0,
         window_size=(-1, -1),
         alibi_slopes=None,
+        sinks=None,
     ):
         """Validate and canonicalize inputs.
 
@@ -370,6 +371,11 @@ class FFPAAttnMeta:
                     f"alibi_slopes must have shape ({hq},) or ({b}, {hq}), "
                     f"got {ashape}"
                 )
+        if sinks is not None and tuple(sinks.shape) != (hq,):
+            raise ValueError(
+                f"sinks must have shape ({hq},) (one logit per query "
+                f"head), got {tuple(sinks.shape)}"
+            )
         if scale is None:
             scale = 1.0 / math.sqrt(d)
 

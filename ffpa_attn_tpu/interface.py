@@ -32,6 +32,7 @@ logger = init_logger(__name__)
 def _sdpa_fallback(
     query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa,
     dropout_seed=0, softcap=0.0, window_size=(-1, -1), alibi_slopes=None,
+    sinks=None,
 ):
     """XLA-composite SDPA used for fallback shapes.
 
@@ -67,6 +68,7 @@ def _sdpa_fallback(
         softcap=softcap or 0.0,
         window=tuple(window_size),
         alibi_slopes=alibi_slopes,
+        sinks=sinks,
     )
 
 
@@ -113,6 +115,10 @@ def ffpa_attn_func(
           skipped in compute AND bandwidth, so cost is O(N·W).
         * ``alibi_slopes`` ([Hq] or [B, Hq] fp32): ALiBi position bias
           ``-slope * |p - col|`` computed in-kernel (no N^2 bias tensor).
+        * ``sinks`` ([Hq] fp32): learnable per-head attention-sink logits
+          (gpt-oss-style) — extra softmax-denominator mass attending no
+          value. DIFFERENTIABLE (gradient flows to the sink parameter);
+          exact via an LSE rescale, zero kernel cost.
 
         Anything else raises TypeError.
 
@@ -127,6 +133,9 @@ def ffpa_attn_func(
     alibi_slopes = kwargs.pop("alibi_slopes", None)
     if alibi_slopes is not None:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+    sinks = kwargs.pop("sinks", None)
+    if sinks is not None:
+        sinks = jnp.asarray(sinks, jnp.float32)
     meta = FFPAAttnMeta.from_kwargs(**kwargs)
     if meta.fallback(query, key, attn_mask, dropout_p):
         return _sdpa_fallback(
@@ -142,10 +151,12 @@ def ffpa_attn_func(
             softcap=softcap,
             window_size=window_size,
             alibi_slopes=alibi_slopes,
+            sinks=sinks,
         )
     ameta, query, key, value, bias = meta.normalize(
         query, key, value, attn_mask, dropout_p, is_causal, scale, enable_gqa,
         softcap=softcap, window_size=window_size, alibi_slopes=alibi_slopes,
+        sinks=sinks,
     )
     if query.dtype == jnp.float16:
         # TPU MXU/Mosaic has no native f16; the core computes in bf16 with
@@ -161,11 +172,11 @@ def ffpa_attn_func(
         )
         return apply_attention(
             ameta, query, key, value, bias, dropout_seed, precise_pv=True,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, sinks=sinks,
         )
     return apply_attention(
         ameta, query, key, value, bias, dropout_seed,
-        alibi_slopes=alibi_slopes,
+        alibi_slopes=alibi_slopes, sinks=sinks,
     )
 
 

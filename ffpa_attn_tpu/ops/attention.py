@@ -70,10 +70,28 @@ def _to_compute_dtype(q, k, v):
     return q, k, v, False
 
 
+def _apply_sinks(o, lse, sinks):
+    """Fold per-head sink logits into the softmax normalizer.
+
+    The kernels compute the sink-free softmax (o, lse); the exact
+    sink-inclusive result is a pure rescale — ``lse' = logaddexp(lse,
+    sink)``, ``o' = o * exp(lse - lse')`` — because the sink adds
+    denominator mass but no value row. The BACKWARD kernels then run
+    UNCHANGED on (o', lse'): with p = exp(s - lse'), the standard
+    ``ds = p * (dp - rowsum(dO*O))`` identity already accounts for the
+    sink's normalizer share (the sink's own dp is zero — it attends no
+    value), and ``dsink = -exp(sink - lse') * rowsum(dO*O)`` falls out in
+    closed form from the saved residuals (computed in _core_bwd)."""
+    sink_col = sinks.astype(jnp.float32)[None, :, None]
+    lse_s = jnp.logaddexp(lse, sink_col)
+    o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
+    return o_s, lse_s
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, seed):
+def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
     q, k, v, was_f16 = _to_compute_dtype(q, k, v)
-    o, _ = flash_attention_forward(
+    o, lse = flash_attention_forward(
         q,
         k,
         v,
@@ -87,6 +105,8 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, seed):
         window=static.window,
         alibi_slopes=alibi,
     )
+    if sinks is not None:
+        o, _ = _apply_sinks(o, lse, sinks)
     return o.astype(jnp.float16) if was_f16 else o
 
 
@@ -205,7 +225,7 @@ def _slice_bias_heads(bias, lo, hi):
     return bias[:, lo:hi]
 
 
-def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, seed):
+def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
     m = _resident_head_count(static, q, k, v, bias)
     hq = q.shape[1]
     group = hq // k.shape[1]
@@ -243,8 +263,13 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, seed):
         )
     else:
         (o, lse), scores = fwd(q, k, v, bias, alibi_slopes=alibi), None
+    if sinks is not None:
+        # Residuals carry the SINK-INCLUSIVE (o, lse): every backward
+        # scheme (recompute, dS-handoff, from-S) is already exact under
+        # them — see _apply_sinks.
+        o, lse = _apply_sinks(o, lse, sinks)
     out = o.astype(jnp.float16) if was_f16 else o
-    return out, (q, k, v, bias, alibi, o, lse, seed, scores)
+    return out, (q, k, v, bias, alibi, sinks, o, lse, seed, scores)
 
 
 def _slice_alibi_heads(alibi, lo, hi):
@@ -257,15 +282,16 @@ def _core_bwd(static: StaticArgs, residuals, do):
     # Residual q/k/v are in COMPUTE dtype (bf16); ``do`` arrives in the
     # PRIMAL dtype — unrounded f16 for fp16 users, which the backward's
     # hi+lo dO split needs (flash_bwd._dv_accumulate).
-    q, k, v, bias, alibi, o, lse, seed, scores = residuals
+    q, k, v, bias, alibi, sinks, o, lse, seed, scores = residuals
     was_f16 = do.dtype == jnp.float16
+    dsinks = None
     if static.backward_is_sdpa:
         # fp32 recompute path: numerically the reference oracle's own vjp.
         # jax.vjp differentiates through expand_kv_heads, so dk/dv come back
         # already group-reduced to [B, Hkv, Nkv, D].
         hq = q.shape[1]
 
-        def _ref(q_, k_, v_, bias_):
+        def _ref(q_, k_, v_, bias_, sinks_):
             return reference_attention(
                 q_,
                 expand_kv_heads(k_, hq),
@@ -278,10 +304,15 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 softcap=static.softcap,
                 window=static.window,
                 alibi_slopes=alibi,
+                sinks=sinks_,
             )
 
-        _, vjp = jax.vjp(_ref, q, k, v, bias)
-        dq, dk, dv, dbias = vjp(do.astype(o.dtype))
+        if sinks is None:
+            _, vjp = jax.vjp(lambda a, b, c, d: _ref(a, b, c, d, None), q, k, v, bias)
+            dq, dk, dv, dbias = vjp(do.astype(o.dtype))
+        else:
+            _, vjp = jax.vjp(_ref, q, k, v, bias, sinks)
+            dq, dk, dv, dbias, dsinks = vjp(do.astype(o.dtype))
         dk = dk.astype(k.dtype)
         dv = dv.astype(v.dtype)
     else:
@@ -336,6 +367,15 @@ def _core_bwd(static: StaticArgs, residuals, do):
             dq, dk, dv, dbias = bwd(
                 q, k, v, bias, o, lse, do, scores=scores, alibi_slopes=alibi
             )
+        if sinks is not None:
+            # dsink_h = -sum_{b,rows} exp(sink_h - lse') * rowsum(dO * O):
+            # the sink's softmax share times the (negated) delta term — in
+            # closed form from the residuals, no kernel involvement.
+            delta = jnp.sum(
+                do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+            )
+            p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
+            dsinks = (-jnp.sum(p_sink * delta, axis=(0, 2))).astype(sinks.dtype)
     if was_f16:
         # Cotangents return in the primal's f16 unless an explicit grad
         # storage dtype was requested.
@@ -346,7 +386,7 @@ def _core_bwd(static: StaticArgs, residuals, do):
             dv = dv.astype(jnp.float16)
     # ALiBi slopes are positional hyperparameters, not weights: zero grad.
     dalibi = None if alibi is None else jnp.zeros_like(alibi)
-    return dq, dk, dv, dbias, dalibi, None
+    return dq, dk, dv, dbias, dalibi, dsinks, None
 
 
 ffpa_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -401,6 +441,7 @@ def apply_attention(
     dropout_seed=0,
     precise_pv: bool = False,
     alibi_slopes=None,
+    sinks=None,
 ):
     """Dispatch a normalized attention call to the core op.
 
@@ -417,6 +458,8 @@ def apply_attention(
         alibi = jnp.asarray(alibi_slopes, jnp.float32)
         if alibi.ndim == 1:
             alibi = jnp.broadcast_to(alibi[None], (q.shape[0], q.shape[1]))
+    if sinks is not None:
+        sinks = jnp.asarray(sinks, jnp.float32)
 
     nq = q.shape[2]
     if nq <= 8 and meta.dropout_p == 0.0 and alibi is None:
@@ -439,6 +482,7 @@ def apply_attention(
                 is_causal=meta.is_causal,
                 softcap=softcap,
                 window=window,
+                sinks=sinks,
             )
             return out.astype(jnp.float16) if was_f16 else out
 
@@ -491,4 +535,4 @@ def apply_attention(
         window=window,
         has_alibi=alibi is not None,
     )
-    return ffpa_attention_core(static, q, k, v, bias, alibi, dropout_seed)
+    return ffpa_attention_core(static, q, k, v, bias, alibi, sinks, dropout_seed)

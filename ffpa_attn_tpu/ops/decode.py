@@ -308,27 +308,41 @@ def _decode_no_bias(kernel):
     return wrapped
 
 
+def _decode_apply_sinks(o, lse, sinks):
+    """Sink-inclusive rescale (see ops/attention.py:_apply_sinks)."""
+    sink_col = sinks.astype(jnp.float32)[None, :, None]
+    lse_s = jnp.logaddexp(lse, sink_col)
+    o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
+    return o_s, lse_s
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _decode_core(scale, is_causal, softcap, window, q, k, v, bias):
-    o, _ = _decode_forward(
-        q, k, v, bias, scale=scale, is_causal=is_causal,
-        softcap=softcap, window=window,
-    )
-    return o
-
-
-def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias):
+def _decode_core(scale, is_causal, softcap, window, q, k, v, bias, sinks):
     o, lse = _decode_forward(
         q, k, v, bias, scale=scale, is_causal=is_causal,
         softcap=softcap, window=window,
     )
-    return o, (q, k, v, bias, o, lse)
+    if sinks is not None:
+        o, _ = _decode_apply_sinks(o, lse, sinks)
+    return o
+
+
+def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias, sinks):
+    o, lse = _decode_forward(
+        q, k, v, bias, scale=scale, is_causal=is_causal,
+        softcap=softcap, window=window,
+    )
+    if sinks is not None:
+        # Sink-inclusive residuals: the dense backward is exact under them
+        # (ops/attention.py:_apply_sinks).
+        o, lse = _decode_apply_sinks(o, lse, sinks)
+    return o, (q, k, v, bias, sinks, o, lse)
 
 
 def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
     from .flash_bwd import flash_attention_backward
 
-    q, k, v, bias, o, lse = residuals
+    q, k, v, bias, sinks, o, lse = residuals
     dq, dk, dv, dbias = flash_attention_backward(
         q,
         k,
@@ -343,15 +357,21 @@ def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
         softcap=softcap,
         window=window,
     )
-    return dq, dk, dv, dbias
+    dsinks = None
+    if sinks is not None:
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
+        dsinks = (-jnp.sum(p_sink * delta, axis=(0, 2))).astype(sinks.dtype)
+    return dq, dk, dv, dbias, dsinks
 
 
 _decode_core.defvjp(_decode_core_fwd, _decode_core_bwd)
 
 
 def decode_attention(
-    q, k, v, bias, *, scale, is_causal, softcap=0.0, window=(-1, -1)
+    q, k, v, bias, *, scale, is_causal, softcap=0.0, window=(-1, -1),
+    sinks=None,
 ):
     return _decode_core(
-        scale, is_causal, float(softcap), tuple(window), q, k, v, bias
+        scale, is_causal, float(softcap), tuple(window), q, k, v, bias, sinks
     )

@@ -72,6 +72,7 @@ def reference_attention(
     softcap: float = 0.0,
     window: tuple = (-1, -1),
     alibi_slopes: Optional[jnp.ndarray] = None,
+    sinks: Optional[jnp.ndarray] = None,
 ):
     """Exact attention with fp32 accumulation.
 
@@ -96,6 +97,10 @@ def reference_attention(
         composes as right = 0 (FlashAttention ``window_size`` semantics).
       alibi_slopes: per-head fp32 slopes ``[Hq]`` or ``[B, Hq]``; adds
         ``-slope * |p - col|`` to the scores (non-differentiable).
+      sinks: per-head learnable attention-sink logits ``[Hq]`` fp32
+        (gpt-oss-style): each row's softmax denominator gains
+        ``exp(sink_h)`` mass that attends no value — probabilities sum to
+        < 1, damping attention when nothing matches. DIFFERENTIABLE.
 
     Returns:
       out [B, Hq, Nq, Dv] in q.dtype (and lse if requested).
@@ -136,8 +141,13 @@ def reference_attention(
         s = jnp.where(band[None, None], s, DEFAULT_MASK_VALUE)
 
     m = jnp.max(s, axis=-1, keepdims=True)
+    if sinks is not None:
+        sink_col = jnp.asarray(sinks, jnp.float32)[None, :, None, None]
+        m = jnp.maximum(m, sink_col)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if sinks is not None:
+        l = l + jnp.exp(sink_col - m)
     lse = (m + jnp.log(l))[..., 0]
 
     p = p / jnp.where(l == 0.0, 1.0, l)

@@ -20,10 +20,15 @@ TPU way (the splash-attention SegmentIds pattern):
 API mirrors ``ffpa_attn_varlen_func`` (reference
 ffpa_attn_interface.py:184-271): packed ``q [Tq, Hq, D]``, ``k/v [Tk, Hkv,
 D]``, int32 ``cu_seqlens_* [B+1]``, optional natural-log ``lse [Hq, Tq]``
-output, consolidated NotImplementedError for the FlashAttention extension
-kwargs (window_size, softcap, ...), and full forward+backward support (the
+output, consolidated NotImplementedError for the remaining unsupported
+FlashAttention extension kwargs, and full forward+backward support (the
 reference's SM80 tier decomposes varlen backward into per-segment dense
 calls, cute/_ffpa_bwd_sm80.py:586-640; our masks make backward native).
+BEYOND the reference, which rejects them outright: ``softcap``,
+``window_size`` (per-segment sliding band over the tail-aligned rank —
+three extra compares on the same metadata), ``alibi_slopes`` (per-segment
+``-slope*|rank - pos|`` from the same metadata) and differentiable
+``sinks`` (LSE rescale).
 """
 
 from __future__ import annotations
@@ -41,10 +46,11 @@ from .config import LANE, cdiv
 from .flash_fwd import _pad_dim, use_interpret
 from .reference import DEFAULT_MASK_VALUE
 
+
+# Kwargs the reference rejects AND we also do not implement in the varlen
+# path (the dense entry's softcap/window_size/alibi_slopes/sinks are
+# SUPPORTED here natively — they came OFF this list in round 3).
 _REJECTED_KWARGS = (
-    "window_size",
-    "softcap",
-    "sink",
     "attention_mask",
     "attn_mask",
     "block_mask",
@@ -53,11 +59,9 @@ _REJECTED_KWARGS = (
     "seqused_k",
     "block_table",
     "num_splits",
-    "alibi_slopes",
 )
 
 _REJECT_DEFAULTS = {
-    "window_size": (-1, -1),
     "num_splits": 1,
 }
 
@@ -112,18 +116,31 @@ def _segment_metadata(cu_q, cu_k, tq: int, tk: int, tq_pad: int, tk_pad: int):
     return q_seg, q_rank, k_seg, k_pos
 
 
-def _varlen_mask(q_seg, q_rank, k_seg, k_pos, causal: bool):
-    """(bq, bkv) keep-mask from (bq,1) q metadata and (1,bkv) k metadata."""
+def _varlen_mask(
+    q_seg, q_rank, k_seg, k_pos, causal: bool,
+    window_left: int = -1, window_right: int = -1,
+):
+    """(bq, bkv) keep-mask from (bq,1) q metadata and (1,bkv) k metadata.
+
+    ``q_rank`` is the tail-aligned intra-segment position, so the sliding
+    window is the same band the dense path uses, applied per segment:
+    ``k_pos in [q_rank - left, q_rank + right]``."""
     keep = q_seg == k_seg
-    if causal:
-        keep = jnp.logical_and(keep, k_pos <= q_rank)
+    wr_eff = 0 if causal else window_right
+    if causal or window_right >= 0:
+        keep = jnp.logical_and(keep, k_pos <= q_rank + wr_eff)
+    if window_left >= 0:
+        keep = jnp.logical_and(keep, k_pos >= q_rank - window_left)
     return keep
 
 
 _BIG = jnp.int32(2**30)
 
 
-def _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal):
+def _tile_needed(
+    q_seg, q_rank, k_seg, k_pos, bq, bkv, causal,
+    window_left: int = -1, window_right: int = -1,
+):
     """Per-(q-tile, kv-tile) visibility + a monotone load schedule.
 
     The TPU answer to the reference's varlen TileScheduler
@@ -147,16 +164,25 @@ def _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal):
     q_seg_min = jnp.where(qs >= 0, qs, _BIG).min(axis=1)  # [nqb]
     q_seg_max = jnp.where(qs >= 0, qs, -_BIG).max(axis=1)
     q_rank_max = qr.max(axis=1)
+    q_rank_min = jnp.where(qs >= 0, q_rank.reshape(nqb, bq), _BIG).min(axis=1)
     k_seg_min = jnp.where(ks >= 0, ks, _BIG).min(axis=1)  # [nkb]
     k_seg_max = jnp.where(ks >= 0, ks, -_BIG).max(axis=1)
     k_pos_min = kp.min(axis=1)
+    k_pos_max = jnp.where(ks >= 0, k_pos.reshape(nkb, bkv), -_BIG).max(axis=1)
 
     overlap = (k_seg_min[None, :] <= q_seg_max[:, None]) & (
         k_seg_max[None, :] >= q_seg_min[:, None]
     )
     needed = overlap
-    if causal:
-        needed = needed & (k_pos_min[None, :] <= q_rank_max[:, None])
+    wr_eff = 0 if causal else window_right
+    if causal or window_right >= 0:
+        needed = needed & (k_pos_min[None, :] <= q_rank_max[:, None] + wr_eff)
+    if window_left >= 0:
+        # Cull tiles entirely below every row's window — a conservative
+        # bound (rank/pos extrema per tile), exact masking stays in-kernel.
+        needed = needed & (
+            k_pos_max[None, :] >= q_rank_min[:, None] - window_left
+        )
     return needed
 
 
@@ -188,6 +214,7 @@ def _interval_schedule(needed):
 def _varlen_fwd_kernel(
     jmin_ref,  # scalar-prefetch [nqb] i32
     jmax_ref,  # scalar-prefetch [nqb] i32
+    alibi_ref,  # SMEM (1, Hq) f32 (zeros when has_alibi=False)
     q_ref,  # (1, bq, D)
     k_ref,  # (1, bkv, D)
     v_ref,  # (1, bkv, Dv)
@@ -204,7 +231,12 @@ def _varlen_fwd_kernel(
     scale,
     causal,
     num_kv_blocks,
+    softcap=0.0,
+    window_left=-1,
+    window_right=-1,
+    has_alibi=False,
 ):
+    h = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -221,9 +253,16 @@ def _varlen_fwd_kernel(
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(scale)
+        if softcap > 0.0:
+            cap = jnp.float32(softcap)
+            s = cap * jnp.tanh(s / cap)
+        if has_alibi:
+            dist = jnp.abs(qrank_ref[...] - kpos_ref[...]).astype(jnp.float32)
+            s = s - alibi_ref[0, h] * dist
 
         keep = _varlen_mask(
-            qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal
+            qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...],
+            causal, window_left, window_right,
         )
         s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
@@ -267,6 +306,9 @@ def _varlen_forward(
     block_q: int,
     block_kv: int,
     interpret: Optional[bool] = None,
+    softcap: float = 0.0,
+    window: tuple = (-1, -1),
+    alibi=None,  # (Hq,) f32 or None
 ):
     hq, tq_pad, d = q_h.shape
     hkv, tk_pad, dv_dim = v_h.shape
@@ -274,8 +316,19 @@ def _varlen_forward(
     bq, bkv = block_q, block_kv
     num_q_blocks = tq_pad // bq
     num_kv_blocks = tk_pad // bkv
+    window_left = int(window[0])
+    window_right = -1 if causal else int(window[1])
+    has_alibi = alibi is not None
+    alibi_arr = (
+        jnp.zeros((1, hq), jnp.float32)
+        if alibi is None
+        else alibi.astype(jnp.float32).reshape(1, hq)
+    )
 
-    needed = _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal)
+    needed = _tile_needed(
+        q_seg, q_rank, k_seg, k_pos, bq, bkv, causal,
+        window_left, window_right,
+    )
     jmin, jmax = _interval_schedule(needed)
 
     def kv_index(h, i, j, jmin_ref, jmax_ref, g=group):
@@ -288,6 +341,7 @@ def _varlen_forward(
         num_scalar_prefetch=2,
         grid=(hq, num_q_blocks, num_kv_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, Hq)
             pl.BlockSpec((1, bq, d), lambda h, i, j, jl, ac: (h, i, 0)),
             pl.BlockSpec((1, bkv, d), kv_index),
             pl.BlockSpec((1, bkv, dv_dim), kv_index),
@@ -312,6 +366,10 @@ def _varlen_forward(
             scale=scale,
             causal=causal,
             num_kv_blocks=num_kv_blocks,
+            softcap=float(softcap),
+            window_left=window_left,
+            window_right=window_right,
+            has_alibi=has_alibi,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -328,6 +386,7 @@ def _varlen_forward(
     )(
         jmin,
         jmax,
+        alibi_arr,
         q_h,
         k_h,
         v_h,
@@ -344,27 +403,44 @@ def _varlen_forward(
 # ---------------------------------------------------------------------------
 
 
-def _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, *, scale):
+def _varlen_recompute_ds(
+    q, k, v, do, lse_row, delta_row, keep, *, scale,
+    softcap=0.0, alibi_term=None,
+):
+    """Returns (p, ds_qk): ds_qk carries the softcap chain factor (varlen
+    has no additive-bias gradient, so the post-bias ds is never needed)."""
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
+    cap_factor = None
+    if softcap > 0.0:
+        cap = jnp.float32(softcap)
+        s = cap * jnp.tanh(s / cap)
+        cap_factor = 1.0 - jnp.square(s / cap)
+    if alibi_term is not None:
+        s = s - alibi_term
     s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jnp.where(keep, jnp.exp(s - lse_row), 0.0)
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - delta_row)
+    if cap_factor is not None:
+        ds = ds * cap_factor
     return p, ds
 
 
 def _varlen_dkdv_kernel(
     imin_ref,  # scalar-prefetch [nkb] i32
     imax_ref,  # scalar-prefetch [nkb] i32
+    alibi_ref,  # SMEM (1, Hq) f32
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qseg_ref, qrank_ref, kseg_ref, kpos_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, num_q_blocks,
+    softcap=0.0, window_left=-1, window_right=-1, has_alibi=False,
 ):
+    h = pl.program_id(0)
     j = pl.program_id(1)  # kv tile owner
     i = pl.program_id(2)  # streamed q tile slot
 
@@ -381,8 +457,19 @@ def _varlen_dkdv_kernel(
         do = do_ref[0]
         lse_row = lse_ref[0, 0][:, None]
         delta_row = delta_ref[0, 0][:, None]
-        keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
-        p, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+        keep = _varlen_mask(
+            qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...],
+            causal, window_left, window_right,
+        )
+        alibi_term = None
+        if has_alibi:
+            alibi_term = alibi_ref[0, h] * jnp.abs(
+                qrank_ref[...] - kpos_ref[...]
+            ).astype(jnp.float32)
+        p, ds = _varlen_recompute_ds(
+            q, k, v, do, lse_row, delta_row, keep, scale=scale,
+            softcap=softcap, alibi_term=alibi_term,
+        )
 
         dv_scr[...] += lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -402,11 +489,14 @@ def _varlen_dkdv_kernel(
 def _varlen_dq_kernel(
     jmin_ref,  # scalar-prefetch [nqb] i32
     jmax_ref,  # scalar-prefetch [nqb] i32
+    alibi_ref,  # SMEM (1, Hq) f32
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qseg_ref, qrank_ref, kseg_ref, kpos_ref,
     dq_ref, dq_scr,
     *, scale, causal, num_kv_blocks,
+    softcap=0.0, window_left=-1, window_right=-1, has_alibi=False,
 ):
+    h = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -422,8 +512,19 @@ def _varlen_dq_kernel(
         do = do_ref[0]
         lse_row = lse_ref[0, 0][:, None]
         delta_row = delta_ref[0, 0][:, None]
-        keep = _varlen_mask(qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...], causal)
-        _, ds = _varlen_recompute_ds(q, k, v, do, lse_row, delta_row, keep, scale=scale)
+        keep = _varlen_mask(
+            qseg_ref[...], qrank_ref[...], kseg_ref[...], kpos_ref[...],
+            causal, window_left, window_right,
+        )
+        alibi_term = None
+        if has_alibi:
+            alibi_term = alibi_ref[0, h] * jnp.abs(
+                qrank_ref[...] - kpos_ref[...]
+            ).astype(jnp.float32)
+        _, ds = _varlen_recompute_ds(
+            q, k, v, do, lse_row, delta_row, keep, scale=scale,
+            softcap=softcap, alibi_term=alibi_term,
+        )
 
         dq_scr[...] += jnp.float32(scale) * lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -439,6 +540,7 @@ def _varlen_backward(
     q_h, k_h, v_h, o_h, lse, do_h,
     q_seg, q_rank, k_seg, k_pos,
     *, scale, causal, block_q, block_kv, interpret=None,
+    softcap=0.0, window=(-1, -1), alibi=None,
 ):
     hq, tq_pad, d = q_h.shape
     hkv, tk_pad, dv_dim = v_h.shape
@@ -447,13 +549,28 @@ def _varlen_backward(
     num_q_blocks = tq_pad // bq
     num_kv_blocks = tk_pad // bkv
     interpret = use_interpret() if interpret is None else interpret
+    window_left = int(window[0])
+    window_right = -1 if causal else int(window[1])
+    has_alibi = alibi is not None
+    alibi_arr = (
+        jnp.zeros((1, hq), jnp.float32)
+        if alibi is None
+        else alibi.astype(jnp.float32).reshape(1, hq)
+    )
+    feat_kw = dict(
+        softcap=float(softcap), window_left=window_left,
+        window_right=window_right, has_alibi=has_alibi,
+    )
 
     delta = jnp.sum(do_h.astype(jnp.float32) * o_h.astype(jnp.float32), axis=-1)
     lse_in = lse[:, None, :]
     delta_in = delta[:, None, :]
     meta = (q_seg[:, None], q_rank[:, None], k_seg[None, :], k_pos[None, :])
 
-    needed = _tile_needed(q_seg, q_rank, k_seg, k_pos, bq, bkv, causal)
+    needed = _tile_needed(
+        q_seg, q_rank, k_seg, k_pos, bq, bkv, causal,
+        window_left, window_right,
+    )
     jmin, jmax = _interval_schedule(needed)
     imin, imax = _interval_schedule(needed.T)
 
@@ -472,6 +589,7 @@ def _varlen_backward(
         num_scalar_prefetch=2,
         grid=(hq, num_kv_blocks, num_q_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, Hq)
             pl.BlockSpec((1, bq, d), qi_index),
             pl.BlockSpec((1, bkv, d), lambda h, j, i, il, ia, g=group: (h // g, j, 0)),
             pl.BlockSpec((1, bkv, dv_dim), lambda h, j, i, il, ia, g=group: (h // g, j, 0)),
@@ -495,7 +613,7 @@ def _varlen_backward(
     dk_e, dv_e = pl.pallas_call(
         functools.partial(
             _varlen_dkdv_kernel, scale=scale, causal=causal,
-            num_q_blocks=num_q_blocks,
+            num_q_blocks=num_q_blocks, **feat_kw,
         ),
         grid_spec=dkdv_spec,
         out_shape=[
@@ -506,7 +624,7 @@ def _varlen_backward(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(imin, imax, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+    )(imin, imax, alibi_arr, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
 
     if group > 1:
         dk = dk_e.reshape(hkv, group, tk_pad, d).astype(jnp.float32).sum(axis=1)
@@ -527,6 +645,7 @@ def _varlen_backward(
         num_scalar_prefetch=2,
         grid=(hq, num_q_blocks, num_kv_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, Hq)
             pl.BlockSpec((1, bq, d), lambda h, i, j, jl, ac: (h, i, 0)),
             pl.BlockSpec((1, bkv, d), kvj_index),
             pl.BlockSpec((1, bkv, dv_dim), kvj_index),
@@ -544,7 +663,7 @@ def _varlen_backward(
     dq = pl.pallas_call(
         functools.partial(
             _varlen_dq_kernel, scale=scale, causal=causal,
-            num_kv_blocks=num_kv_blocks,
+            num_kv_blocks=num_kv_blocks, **feat_kw,
         ),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((hq, tq_pad, d), q_h.dtype),
@@ -552,7 +671,7 @@ def _varlen_backward(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jmin, jmax, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
+    )(jmin, jmax, alibi_arr, q_h, k_h, v_h, do_h, lse_in, delta_in, *meta)
 
     return dq, dk, dv
 
@@ -562,31 +681,63 @@ def _varlen_backward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _varlen_core(scale, causal, block_q, block_kv, q_h, k_h, v_h, meta):
+def _varlen_apply_sinks(o, lse, sinks):
+    """Sink-inclusive rescale, head-major layout (see
+    ops/attention.py:_apply_sinks for the math)."""
+    sink_col = sinks.astype(jnp.float32)[:, None]
+    lse_s = jnp.logaddexp(lse, sink_col)
+    o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
+    return o_s, lse_s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _varlen_core(
+    scale, causal, block_q, block_kv, softcap, window,
+    q_h, k_h, v_h, meta, alibi, sinks,
+):
     o, lse = _varlen_forward(
         q_h, k_h, v_h, *meta, scale=scale, causal=causal,
         block_q=block_q, block_kv=block_kv,
+        softcap=softcap, window=window, alibi=alibi,
     )
+    if sinks is not None:
+        o, lse = _varlen_apply_sinks(o, lse, sinks)
     return o, lse
 
 
-def _varlen_core_fwd(scale, causal, block_q, block_kv, q_h, k_h, v_h, meta):
+def _varlen_core_fwd(
+    scale, causal, block_q, block_kv, softcap, window,
+    q_h, k_h, v_h, meta, alibi, sinks,
+):
     o, lse = _varlen_forward(
         q_h, k_h, v_h, *meta, scale=scale, causal=causal,
         block_q=block_q, block_kv=block_kv,
+        softcap=softcap, window=window, alibi=alibi,
     )
-    return (o, lse), (q_h, k_h, v_h, o, lse, meta)
+    if sinks is not None:
+        # Sink-inclusive residuals: the backward kernels are exact under
+        # them unchanged (ops/attention.py:_apply_sinks).
+        o, lse = _varlen_apply_sinks(o, lse, sinks)
+    return (o, lse), (q_h, k_h, v_h, o, lse, meta, alibi, sinks)
 
 
-def _varlen_core_bwd(scale, causal, block_q, block_kv, residuals, grads):
-    q_h, k_h, v_h, o, lse, meta = residuals
+def _varlen_core_bwd(
+    scale, causal, block_q, block_kv, softcap, window, residuals, grads
+):
+    q_h, k_h, v_h, o, lse, meta, alibi, sinks = residuals
     do, _ = grads  # lse cotangent ignored (non-differentiable residual)
     dq, dk, dv = _varlen_backward(
         q_h, k_h, v_h, o, lse, do, *meta,
         scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+        softcap=softcap, window=window, alibi=alibi,
     )
-    return dq, dk, dv, None
+    dsinks = None
+    if sinks is not None:
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        p_sink = jnp.exp(sinks.astype(jnp.float32)[:, None] - lse)
+        dsinks = (-jnp.sum(p_sink * delta, axis=1)).astype(sinks.dtype)
+    dalibi = None if alibi is None else jnp.zeros_like(alibi)
+    return dq, dk, dv, None, dalibi, dsinks
 
 
 _varlen_core.defvjp(_varlen_core_fwd, _varlen_core_bwd)
@@ -631,10 +782,45 @@ def ffpa_varlen_attention(
     return_lse: bool = False,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    softcap: float = 0.0,
+    window_size=(-1, -1),
+    alibi_slopes=None,
+    sinks=None,
     **kwargs,
 ):
-    """Packed-THD varlen attention. See interface.ffpa_attn_varlen_func."""
+    """Packed-THD varlen attention. See interface.ffpa_attn_varlen_func.
+
+    Beyond the reference (which rejects them): ``softcap``,
+    ``window_size`` (per-segment band around the tail-aligned rank — the
+    packed-pretraining shape for Mistral-style window models),
+    ``alibi_slopes`` ([Hq], per-segment distances), and differentiable
+    ``sinks`` ([Hq]).
+    """
     _check_supported_options(dict(kwargs))
+    softcap = float(softcap or 0.0)
+    if softcap < 0.0:
+        raise ValueError(f"softcap must be >= 0, got {softcap}")
+    if isinstance(window_size, int):
+        window_size = (window_size, window_size)
+    window_size = (int(window_size[0]), int(window_size[1]))
+    if window_size[0] < -1 or window_size[1] < -1:
+        raise ValueError(
+            f"window_size entries must be >= -1, got {window_size}"
+        )
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.shape != (q.shape[1],):
+            raise ValueError(
+                f"varlen alibi_slopes must have shape ({q.shape[1]},), got "
+                f"{tuple(alibi_slopes.shape)}"
+            )
+    if sinks is not None:
+        sinks = jnp.asarray(sinks, jnp.float32)
+        if sinks.shape != (q.shape[1],):
+            raise ValueError(
+                f"sinks must have shape ({q.shape[1]},), got "
+                f"{tuple(sinks.shape)}"
+            )
     if dropout_p != 0.0:
         raise NotImplementedError(
             "ffpa_attn_varlen_func does not support dropout_p > 0"
@@ -691,6 +877,10 @@ def ffpa_varlen_attention(
             return_lse=return_lse,
             block_q=block_q,
             block_kv=block_kv,
+            softcap=softcap,
+            window_size=window_size,
+            alibi_slopes=alibi_slopes,
+            sinks=sinks,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -712,7 +902,8 @@ def ffpa_varlen_attention(
     meta = _segment_metadata(cu_seqlens_q, cu_seqlens_k, tq, tk, tq_pad, tk_pad)
 
     o_h, lse = _varlen_core(
-        float(softmax_scale), bool(causal), bq, bkv, q_h, k_h, v_h, meta
+        float(softmax_scale), bool(causal), bq, bkv, softcap, window_size,
+        q_h, k_h, v_h, meta, alibi_slopes, sinks,
     )
     out = jnp.swapaxes(o_h[:, :tq], 0, 1)
     if return_lse:

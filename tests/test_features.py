@@ -386,3 +386,182 @@ def test_decode_softcap_speculative():
         window_size=(512, -1),
     ).astype(jnp.float32)))(q)
     assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_sinks_forward_and_grads():
+    """Attention sinks (gpt-oss-style): sink-inclusive softmax via an LSE
+    rescale; gradient flows to the sink logits in closed form
+    (ops/attention.py:_apply_sinks)."""
+    b, h, n, d = 1, 4, 512, 320
+    q, k, v, do = _mk(b, h, h, n, n, d, seed=30)
+    sinks = jnp.asarray([0.5, -0.2, 1.0, 0.0], jnp.float32)
+    out = ffpa_attn_func(q, k, v, is_causal=True, sinks=sinks)
+    ref = reference_attention(q, k, v, is_causal=True, sinks=sinks)
+    _assert_close(out, ref, 3e-2, "sinks fwd")
+
+    def loss(fn):
+        return lambda q_, k_, v_, s_: jnp.sum(
+            fn(q_, k_, v_, s_).astype(jnp.float32) * do.astype(jnp.float32)
+        )
+
+    got = jax.grad(
+        loss(lambda a, b_, c, s: ffpa_attn_func(a, b_, c, is_causal=True, sinks=s)),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, sinks)
+    ref_g = jax.grad(
+        loss(lambda a, b_, c, s: reference_attention(
+            a.astype(jnp.float32), b_.astype(jnp.float32),
+            c.astype(jnp.float32), is_causal=True, sinks=s,
+        ).astype(jnp.bfloat16)),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, sinks)
+    for n_, g, r in zip(["dq", "dk", "dv", "dsinks"], got, ref_g):
+        _assert_close(g, r, 6e-2, f"sinks {n_}")
+
+
+def test_sinks_window_decode_gpt_oss_shape():
+    """sinks + sliding window at Nq=1 — the gpt-oss serving combination,
+    on the decode fast path."""
+    b, h, nkv, d = 1, 4, 2048, 320
+    q, k, v, _ = _mk(b, h, h, 1, nkv, d, seed=31)
+    sinks = jnp.asarray([0.3, 0.0, -0.5, 1.2], jnp.float32)
+    out = ffpa_attn_func(
+        q, k, v, is_causal=True, window_size=(512, -1), sinks=sinks
+    )
+    ref = reference_attention(
+        q, k, v, is_causal=True, window=(512, -1), sinks=sinks
+    )
+    _assert_close(out, ref, 3e-2, "decode window+sinks")
+
+
+def test_sinks_dropout_from_s():
+    """sinks compose with dropout and the S-resident backward: residuals
+    carry the sink-inclusive LSE, so every scheme is exact unchanged."""
+    b, h, n, d = 1, 2, 384, 320
+    q, k, v, do = _mk(b, h, h, n, n, d, seed=32)
+    sinks = jnp.asarray([0.4, -0.1], jnp.float32)
+    be = PallasBackend(save_scores=True)
+
+    def loss(fn):
+        return lambda q_, s_: jnp.sum(
+            fn(q_, s_).astype(jnp.float32) * do.astype(jnp.float32)
+        )
+
+    got = jax.grad(
+        loss(lambda q_, s_: ffpa_attn_func(
+            q_, k, v, dropout_p=0.1, sinks=s_, backend=be
+        )),
+        argnums=(0, 1),
+    )(q, sinks)
+    ref_g = jax.grad(
+        loss(lambda q_, s_: reference_attention(
+            q_.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), dropout_p=0.1, sinks=s_,
+        ).astype(jnp.bfloat16)),
+        argnums=(0, 1),
+    )(q, sinks)
+    _assert_close(got[0], ref_g[0], 6e-2, "sinks dropout dq")
+    _assert_close(got[1], ref_g[1], 6e-2, "sinks dropout dsinks")
+
+
+def test_sinks_validation():
+    q, k, v, _ = _mk(1, 2, 2, 256, 256, 320)
+    with pytest.raises(ValueError, match="sinks"):
+        ffpa_attn_func(q, k, v, sinks=jnp.ones((3,), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Varlen features: the reference rejects these kwargs on the varlen entry
+# too; FFPA-TPU applies them per segment via the same metadata the
+# segment-ID mask already uses.
+# ---------------------------------------------------------------------------
+
+
+def _varlen_inputs(seed=40):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    t, h, hkv, d = 768, 4, 2, 320
+    q = jax.random.normal(ks[0], (t, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (t, hkv, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (t, hkv, d), jnp.bfloat16)
+    do = jax.random.normal(ks[3], (t, h, d), jnp.bfloat16)
+    cu = jnp.asarray([0, 300, 512, 768], jnp.int32)
+    return q, k, v, do, cu
+
+
+def _varlen_seg_ref(q, k, v, cu, hq, rkw):
+    """Per-segment dense oracle (window/alibi are segment-relative)."""
+    outs = []
+    for i in range(cu.shape[0] - 1):
+        lo, hi = int(cu[i]), int(cu[i + 1])
+        qq = q[None, lo:hi].transpose(0, 2, 1, 3)
+        kk = expand_kv_heads(k[None, lo:hi].transpose(0, 2, 1, 3), hq)
+        vv = expand_kv_heads(v[None, lo:hi].transpose(0, 2, 1, 3), hq)
+        o = reference_attention(qq, kk, vv, **rkw)
+        outs.append(o[0].transpose(1, 0, 2))
+    return jnp.concatenate(outs, axis=0)
+
+
+VARLEN_FEATURE_CASES = [
+    ("window", dict(window_size=(64, 32), causal=False), dict(window=(64, 32))),
+    (
+        "window-causal",
+        dict(window_size=(96, -1), causal=True),
+        dict(window=(96, -1), is_causal=True),
+    ),
+    ("softcap", dict(softcap=20.0, causal=True), dict(softcap=20.0, is_causal=True)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,fkw,rkw", VARLEN_FEATURE_CASES, ids=[c[0] for c in VARLEN_FEATURE_CASES]
+)
+def test_varlen_feature_forward(name, fkw, rkw):
+    from ffpa_attn_tpu import ffpa_attn_varlen_func
+
+    q, k, v, _, cu = _varlen_inputs()
+    out = ffpa_attn_varlen_func(q, k, v, cu, cu, 468, 468, enable_gqa=True, **fkw)
+    ref = _varlen_seg_ref(q, k, v, cu, 4, rkw)
+    _assert_close(out, ref, 3e-2, f"varlen {name} fwd")
+
+
+def test_varlen_combo_backward():
+    """softcap + window + alibi + sinks through the varlen backward, grads
+    (incl. dsinks) vs the per-segment fp32 oracle vjp."""
+    from ffpa_attn_tpu import ffpa_attn_varlen_func
+
+    q, k, v, do, cu = _varlen_inputs(seed=41)
+    sl = jnp.asarray([0.01, 0.03, 0.05, 0.07], jnp.float32)
+    sinks = jnp.asarray([0.4, -0.1, 0.8, 0.0], jnp.float32)
+
+    def loss_ffpa(q_, k_, v_, s_):
+        return jnp.sum(
+            ffpa_attn_varlen_func(
+                q_, k_, v_, cu, cu, 468, 468, enable_gqa=True, causal=True,
+                softcap=25.0, window_size=(128, -1), alibi_slopes=sl, sinks=s_,
+            ).astype(jnp.float32) * do.astype(jnp.float32)
+        )
+
+    def loss_ref(q_, k_, v_, s_):
+        out = _varlen_seg_ref(
+            q_.astype(jnp.float32), k_.astype(jnp.float32),
+            v_.astype(jnp.float32), cu, 4,
+            dict(is_causal=True, softcap=25.0, window=(128, -1),
+                 alibi_slopes=sl, sinks=s_),
+        )
+        return jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32))
+
+    got = jax.grad(loss_ffpa, argnums=(0, 1, 2, 3))(q, k, v, sinks)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sinks)
+    for n_, g, r in zip(["dq", "dk", "dv", "dsinks"], got, ref):
+        _assert_close(g, r, 6e-2, f"varlen combo {n_}")
+
+
+def test_varlen_still_rejects_unsupported():
+    from ffpa_attn_tpu import ffpa_attn_varlen_func
+
+    q, k, v, _, cu = _varlen_inputs()
+    with pytest.raises(NotImplementedError, match="block_table"):
+        ffpa_attn_varlen_func(
+            q, k, v, cu, cu, 468, 468, block_table=jnp.zeros((1,), jnp.int32)
+        )

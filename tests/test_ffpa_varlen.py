@@ -137,13 +137,17 @@ def test_varlen_bwd():
 
 
 def test_varlen_rejected_kwargs():
+    # softcap / window_size / alibi_slopes / sinks came OFF the rejection
+    # list in round 3 (implemented natively — tests/test_features.py); the
+    # consolidated NotImplementedError still covers the rest.
     dtype = jnp.bfloat16
     q, k, v, cu_q, cu_k = _pack([128], [128], 2, 2, 320, dtype)
     with pytest.raises(NotImplementedError) as exc:
         ffpa_attn_varlen_func(
-            q, k, v, cu_q, cu_k, 128, 128, softcap=30.0, alibi_slopes=[1.0]
+            q, k, v, cu_q, cu_k, 128, 128,
+            score_mod=object(), seqused_k=jnp.zeros((1,), jnp.int32),
         )
-    assert "softcap" in str(exc.value) and "alibi_slopes" in str(exc.value)
+    assert "score_mod" in str(exc.value) and "seqused_k" in str(exc.value)
     with pytest.raises(NotImplementedError):
         ffpa_attn_varlen_func(q, k, v, cu_q, cu_k, 128, 128, dropout_p=0.1)
     with pytest.raises(TypeError):
