@@ -26,6 +26,23 @@ from ..ops.reference import DEFAULT_MASK_VALUE
 from .transformer import ModelConfig, _mlp, _rmsnorm, _rope
 
 
+def _feature_kwargs(cfg: ModelConfig, layer, *, window: bool = True) -> dict:
+    """ffpa_attn_func extras for the model's attention features.
+
+    ``window=False`` omits window_size for call sites that realize the
+    window through an explicit validity bias instead (decode over a cache
+    longer than the current position, where tail-aligned bands don't map
+    onto cache rows)."""
+    extra = {}
+    if window and cfg.sliding_window > 0:
+        extra["window_size"] = (cfg.sliding_window, -1)
+    if cfg.attn_softcap > 0.0:
+        extra["softcap"] = cfg.attn_softcap
+    if cfg.attn_sinks:
+        extra["sinks"] = layer["attn_sinks"]
+    return extra
+
+
 def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int):
     dtype = cfg.jnp_dtype
     return [
@@ -64,7 +81,10 @@ def prefill(params, tokens, cfg: ModelConfig, cache):
             "k": jax.lax.dynamic_update_slice(cache[li]["k"], k, (0, 0, 0, 0)),
             "v": jax.lax.dynamic_update_slice(cache[li]["v"], v, (0, 0, 0, 0)),
         }
-        o = ffpa_attn_func(q, k, v, is_causal=True, enable_gqa=enable_gqa)
+        o = ffpa_attn_func(
+            q, k, v, is_causal=True, enable_gqa=enable_gqa,
+            **_feature_kwargs(cfg, layer),
+        )
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * cfg.head_dim)
         x = x + o @ layer["wo"]
         h = _rmsnorm(x, layer["mlp_norm"])
@@ -87,8 +107,13 @@ def decode_step(params, cache, pos, token, cfg: ModelConfig):
     max_len = cache[0]["k"].shape[2]
     x = params["embed"][token][:, None]  # [B, 1, D]
     positions = jnp.full((1,), pos, jnp.int32)
-    # Validity bias over the cache: positions <= pos participate.
-    valid = jnp.arange(max_len) <= pos
+    # Validity bias over the cache: positions <= pos participate. A model
+    # sliding window further drops rows before pos - W (cache rows ARE
+    # true positions here, so the band is a bias refinement).
+    cache_rows = jnp.arange(max_len)
+    valid = cache_rows <= pos
+    if cfg.sliding_window > 0:
+        valid = valid & (cache_rows >= pos - cfg.sliding_window)
     bias = jnp.where(valid, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
     bias = bias[None, None, None, :]  # [1, 1, 1, max_len]
     enable_gqa = cfg.n_heads != cfg.n_kv_heads
@@ -104,7 +129,8 @@ def decode_step(params, cache, pos, token, cfg: ModelConfig):
         )
         cache[li] = {"k": k_cache, "v": v_cache}
         o = ffpa_attn_func(
-            q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa
+            q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa,
+            **_feature_kwargs(cfg, layer, window=False),
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, 1, -1) @ layer["wo"]
         h = _rmsnorm(x, layer["mlp_norm"])

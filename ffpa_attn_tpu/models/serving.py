@@ -85,9 +85,12 @@ def prefill_packed(params, packed, cu_seqlens, max_seqlen: int,
             "v": cache[li]["v"].at[b_idx, :, pos].set(v, mode="drop"),
         }
 
+        from .generate import _feature_kwargs
+
         o = ffpa_attn_varlen_func(
             q, k, v, cu_seqlens, cu_seqlens, max_seqlen, max_seqlen,
             causal=True, enable_gqa=enable_gqa,
+            **_feature_kwargs(cfg, layer),
         )
         x = x + (o.reshape(n, cfg.n_heads * dh) @ layer["wo"])[None]
         h = _rmsnorm(x, layer["mlp_norm"])
@@ -207,9 +210,16 @@ def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
     positions = lens + t  # [B] true token positions (RoPE)
     write_row = base + t  # shared cache row (traced scalar)
     cols = jnp.arange(max_len)[None, :]
-    valid = (cols < lens[:, None]) | (
-        (cols >= base) & (cols <= write_row)
-    )  # [B, max_len]
+    prompt_ok = cols < lens[:, None]
+    gen_ok = (cols >= base) & (cols <= write_row)
+    if cfg.sliding_window > 0:
+        # Window over TRUE positions: prompt row c sits at position c;
+        # generated row c sits at position lens[b] + (c - base). Keep only
+        # rows within the last ``sliding_window`` tokens of positions[b].
+        w = cfg.sliding_window
+        prompt_ok = prompt_ok & (cols >= positions[:, None] - w)
+        gen_ok = gen_ok & (cols >= base + t - w)
+    valid = prompt_ok | gen_ok  # [B, max_len]
     bias = jnp.where(valid, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
     bias = bias[:, None, None, :]  # [B, 1, 1, max_len]
     enable_gqa = cfg.n_heads != cfg.n_kv_heads
@@ -224,9 +234,11 @@ def _batched_decode_step(params, cache, lens, t, token, cfg: ModelConfig,
         )
         cache[li] = {"k": k_cache, "v": v_cache}
         from ..interface import ffpa_attn_func
+        from .generate import _feature_kwargs
 
         return ffpa_attn_func(
-            q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa
+            q, k_cache, v_cache, attn_mask=bias, enable_gqa=enable_gqa,
+            **_feature_kwargs(cfg, params["layers"][li], window=False),
         )
 
     return _token_block(params, token, cfg, positions, attend), cache
@@ -262,6 +274,12 @@ def serve_batch_paged(
     the shared-row layout, cache rows ARE true positions (prompt rows then
     generated rows, contiguous per sequence) — no row remap, no mask gap.
     """
+    if cfg.sliding_window > 0 or cfg.attn_softcap > 0.0 or cfg.attn_sinks:
+        raise NotImplementedError(
+            "the paged decode kernel does not yet apply "
+            "sliding_window/attn_softcap/attn_sinks; use serve_batch (the "
+            "shared-row cache honors them) for these model configs"
+        )
     from ..ops.paged import PagedKVCache, fill_from_prefill
 
     batch = len(prompts)

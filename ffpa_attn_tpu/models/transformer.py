@@ -42,6 +42,14 @@ class ModelConfig:
     # for short sequences or when layers run under jax.checkpoint (then
     # only one layer's S is live at a time).
     attn_save_scores: bool = False
+    # Mistral/Gemma-style attention features (FFPA's beyond-reference
+    # kwargs, docs/api.md): sliding_window = causal left-window width in
+    # tokens (0 = full attention); attn_softcap = logit cap (0 = off);
+    # attn_sinks = LEARNABLE per-head sink logits (gpt-oss-style), stored
+    # as a (n_heads,) param per layer and trained with the model.
+    sliding_window: int = 0
+    attn_softcap: float = 0.0
+    attn_sinks: bool = False
 
     @property
     def jnp_dtype(self):
@@ -84,6 +92,8 @@ def init_params(key, cfg: ModelConfig):
                 lk[6], (cfg.mlp_ratio * cfg.d_model, cfg.d_model), dtype
             ),
         }
+        if cfg.attn_sinks:
+            layer["attn_sinks"] = jnp.zeros((cfg.n_heads,), jnp.float32)
         params["layers"].append(layer)
     return params
 
@@ -103,6 +113,8 @@ def param_specs(cfg: ModelConfig, tp_axis: Optional[str] = "tp"):
         "w_gate": P(None, t),
         "w_down": P(t, None),
     }
+    if cfg.attn_sinks:
+        layer["attn_sinks"] = P()
     return {
         "embed": P(),
         "final_norm": P(),
@@ -152,7 +164,17 @@ def _attention(layer, x, cfg: ModelConfig, mesh: Optional[Mesh], sp_axis, tp_axi
     q = _rope(q, positions)
     k = _rope(k, positions)
 
+    features = (
+        cfg.sliding_window > 0 or cfg.attn_softcap > 0.0 or cfg.attn_sinks
+    )
     if mesh is not None and sp_axis is not None and mesh.shape[sp_axis] > 1:
+        if features:
+            raise NotImplementedError(
+                "sliding_window/attn_softcap/attn_sinks are not yet wired "
+                "through the sequence-parallel ring path; run these configs "
+                "without sp (window attention rarely needs ring sharding — "
+                "its compute is O(N*W), not O(N^2))"
+            )
         s_count = mesh.shape[sp_axis]
         head_axis = None if mesh.shape.get(tp_axis, 1) == 1 else tp_axis
         if n % (2 * s_count) == 0:
@@ -173,10 +195,18 @@ def _attention(layer, x, cfg: ModelConfig, mesh: Optional[Mesh], sp_axis, tp_axi
     else:
         from ..functional import PallasBackend
 
+        extra = {}
+        if cfg.sliding_window > 0:
+            extra["window_size"] = (cfg.sliding_window, -1)
+        if cfg.attn_softcap > 0.0:
+            extra["softcap"] = cfg.attn_softcap
+        if cfg.attn_sinks:
+            extra["sinks"] = layer["attn_sinks"]
         o = ffpa_attn_func(
             q, k, v, is_causal=True,
             enable_gqa=cfg.n_heads != cfg.n_kv_heads,
             backward_backend=PallasBackend(save_scores=cfg.attn_save_scores),
+            **extra,
         )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * dh)
     return o @ layer["wo"]

@@ -264,3 +264,107 @@ def test_serve_batch_paged_matches_dense_step_logits():
     assert got.shape == (3, steps)
     assert bool(jnp.all((got >= 0) & (got < cfg.vocab_size)))
     assert int(got[0, 0]) == int(tok[0])
+
+
+def test_feature_model_trains_and_decodes():
+    """Mistral/Gemma/gpt-oss-style config: sliding window + softcap +
+    LEARNABLE sinks through the flagship model — train step reduces loss,
+    sink params receive gradient, and KV-cache decode logits match the
+    full forward (the decode path realizes the window as a validity-bias
+    refinement over cache rows)."""
+    import optax
+
+    cfg = ModelConfig(
+        vocab_size=128,
+        d_model=128,
+        n_layers=1,
+        n_heads=2,
+        n_kv_heads=1,
+        head_dim=320,
+        max_seq_len=256,
+        dtype="bfloat16",
+        sliding_window=64,
+        attn_softcap=30.0,
+        attn_sinks=True,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert params["layers"][0]["attn_sinks"].shape == (cfg.n_heads,)
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 257), 0, cfg.vocab_size)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # The sink logits are trained parameters: they must have moved.
+    assert float(jnp.max(jnp.abs(params["layers"][0]["attn_sinks"]))) > 0.0
+
+    # Decode-path consistency: logits at the last prompt position from the
+    # KV-cache path match the full forward at that position.
+    from ffpa_attn_tpu.models.generate import init_kv_cache, prefill
+
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 96), 0, cfg.vocab_size)
+    cache = init_kv_cache(cfg, 1, 160)
+    last_logits, cache = jax.jit(
+        lambda p, t, c: prefill(p, t, cfg, c)
+    )(params, prompt, cache)
+    full = jax.jit(lambda p, t: forward(p, t, cfg))(params, prompt)
+    ref = full[:, -1]
+    rel = float(
+        jnp.max(jnp.abs(last_logits.astype(jnp.float32) - ref.astype(jnp.float32)))
+        / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-9)
+    )
+    assert rel < 5e-2, rel
+
+    from ffpa_attn_tpu.models.generate import decode_step
+
+    # One decode step at pos=96: compare against teacher-forced forward of
+    # the 97-token sequence.
+    nxt = jnp.argmax(ref, axis=-1).astype(jnp.int32)
+    step_logits, _ = jax.jit(
+        lambda p, c, t: decode_step(p, c, 96, t, cfg)
+    )(params, cache, nxt)
+    full97 = jax.jit(lambda p, t: forward(p, t, cfg))(
+        params, jnp.concatenate([prompt, nxt[:, None]], axis=1)
+    )
+    ref97 = full97[:, -1]
+    rel = float(
+        jnp.max(jnp.abs(step_logits.astype(jnp.float32) - ref97.astype(jnp.float32)))
+        / (jnp.max(jnp.abs(ref97.astype(jnp.float32))) + 1e-9)
+    )
+    assert rel < 5e-2, rel
+
+
+def test_serve_batch_window_model_runs():
+    """serve_batch honors the window/softcap/sinks config (window realized
+    in the ragged validity bias); paged serving rejects it explicitly."""
+    from ffpa_attn_tpu.models.serving import serve_batch, serve_batch_paged
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        d_model=64,
+        n_layers=1,
+        n_heads=2,
+        n_kv_heads=2,
+        head_dim=320,
+        max_seq_len=128,
+        dtype="bfloat16",
+        sliding_window=32,
+        attn_sinks=True,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [
+        jax.random.randint(jax.random.PRNGKey(i), (ln,), 0, cfg.vocab_size)
+        for i, ln in enumerate((48, 17))
+    ]
+    toks = serve_batch(params, prompts, steps=4, cfg=cfg, max_len=128)
+    assert toks.shape == (2, 4)
+    assert bool(jnp.all((toks >= 0) & (toks < cfg.vocab_size)))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="paged"):
+        serve_batch_paged(params, prompts, 4, cfg, 128)
