@@ -274,12 +274,6 @@ def serve_batch_paged(
     the shared-row layout, cache rows ARE true positions (prompt rows then
     generated rows, contiguous per sequence) — no row remap, no mask gap.
     """
-    if cfg.sliding_window > 0 or cfg.attn_softcap > 0.0 or cfg.attn_sinks:
-        raise NotImplementedError(
-            "the paged decode kernel does not yet apply "
-            "sliding_window/attn_softcap/attn_sinks; use serve_batch (the "
-            "shared-row cache honors them) for these model configs"
-        )
     from ..ops.paged import PagedKVCache, fill_from_prefill
 
     batch = len(prompts)
@@ -326,7 +320,9 @@ def _paged_decode_step(params, caches, token, cfg: ModelConfig):
     """One decode step over per-layer paged pools. The new token's true
     position is ``caches[0].lens`` (rows are positions — contiguous per
     sequence); its K/V are appended BEFORE attention so the kernel's
-    ``[0, lens)`` window includes it (standard decode semantics)."""
+    ``[0, lens)`` window includes it (standard decode semantics).
+    sliding_window/attn_softcap/attn_sinks apply natively in the paged
+    kernel (window = page-walk clamp: a long cache streams O(W) bytes)."""
     from ..ops.paged import append_token, paged_decode_attention
 
     positions = caches[0].lens  # [B] — position of the incoming token
@@ -335,7 +331,13 @@ def _paged_decode_step(params, caches, token, cfg: ModelConfig):
     def attend(li, q, k, v):
         cache = append_token(caches[li], k, v)
         new_caches.append(cache)
-        return paged_decode_attention(q, cache, scale=cfg.head_dim**-0.5)
+        layer = params["layers"][li]
+        return paged_decode_attention(
+            q, cache, scale=cfg.head_dim**-0.5,
+            softcap=cfg.attn_softcap,
+            window_left=cfg.sliding_window if cfg.sliding_window > 0 else -1,
+            sinks=layer["attn_sinks"] if cfg.attn_sinks else None,
+        )
 
     logits = _token_block(params, token, cfg, positions, attend)
     return logits, new_caches

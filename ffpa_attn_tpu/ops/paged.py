@@ -267,6 +267,8 @@ def _paged_decode_kernel(
     scale,
     max_pages,
     nq,
+    softcap=0.0,
+    window_left=-1,
 ):
     b_idx = pl.program_id(0)
     j = pl.program_id(2)
@@ -281,6 +283,15 @@ def _paged_decode_kernel(
 
     n_valid = lens_ref[b_idx]
     should_run = j * page < n_valid
+    if window_left >= 0:
+        # Sliding window over TRUE positions (paged rows ARE positions):
+        # the earliest attended position across the tile is
+        # lens[b] - nq - W (the t=0 token's window start); pages entirely
+        # before it skip compute AND, via the clamped page walk, DMA — a
+        # long-cache windowed paged decode streams O(W) bytes.
+        should_run = jnp.logical_and(
+            should_run, (j + 1) * page > n_valid - nq - window_left
+        )
 
     @pl.when(should_run)
     def _compute():
@@ -296,6 +307,10 @@ def _paged_decode_kernel(
         ) * jnp.float32(scale)
         if ks_ref is not None:
             s = s * ks_ref[0, 0][None, :]
+        if softcap > 0.0:
+            # After the dequant multiply: the cap sees the true logit.
+            cap = jnp.float32(softcap)
+            s = cap * jnp.tanh(s / cap)
         # Ragged tail + speculative causality: all nq new tokens are
         # already appended, so packed row r (query position r % nq, the
         # t-th NEW token) attends cached positions
@@ -304,6 +319,9 @@ def _paged_decode_kernel(
         qpos = lax.broadcasted_iota(jnp.int32, (bq, page), 0) % nq
         limit = n_valid - (nq - 1) + qpos
         s = jnp.where(cols < limit, s, DEFAULT_MASK_VALUE)
+        if window_left >= 0:
+            # Token at position limit-1 attends positions >= limit-1-W.
+            s = jnp.where(cols >= limit - 1 - window_left, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -342,6 +360,9 @@ def paged_decode_attention(
     *,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    softcap: float = 0.0,
+    window_left: int = -1,
+    sinks: Optional[jnp.ndarray] = None,
 ):
     """Decode attention over a paged KV cache.
 
@@ -350,6 +371,12 @@ def paged_decode_attention(
     t-th new token attends positions [0, lens[b] - (nq-1) + t) — standard
     causal decode semantics). GQA inferred from Hq vs the pool's Hkv.
     Returns [B, Hq, nq, Dv].
+
+    Feature kwargs (the gpt-oss/Mistral serving set): ``softcap`` caps the
+    true (dequantized) logits; ``window_left`` streams only the last-W
+    pages of a long cache (O(W) bytes — fully-out-of-window pages are also
+    host-releasable, see ``releasable_lead_pages``); ``sinks`` ([Hq] fp32)
+    applies the sink-inclusive softmax via the exact LSE rescale.
     """
     b, hq, nq, d = q.shape
     assert nq <= 8, "paged decode handles tiny-Nq (speculative) tiles only"
@@ -358,6 +385,7 @@ def paged_decode_attention(
     if scale is None:
         scale = d ** -0.5
     max_pages = cache.page_table.shape[1]
+    window_left = int(window_left)
 
     # PackGQA rows (ops/decode.py convention): row r of the tile is q-head
     # hk*group + r // nq at query position r % nq. Padded rows wrap to
@@ -373,15 +401,23 @@ def paged_decode_attention(
     # scalar-prefetch pattern on v5e.
     flat_table = cache.page_table.reshape(-1)
 
-    def kv_index(b_, hk, j, table_ref, lens_ref, mp=max_pages, pg=page):
+    def page_step(b_, j, lens_ref, pg=page):
         last = jnp.maximum((lens_ref[b_] - 1) // pg, 0)
         jc = jnp.minimum(j, last)
-        return (table_ref[b_ * mp + jc], hk, 0, 0)
+        if window_left >= 0:
+            # First page any of the nq tokens can see; out-of-window lead
+            # pages repeat it (DMA elided) and skip compute.
+            first = jnp.clip(
+                (lens_ref[b_] - nq - window_left) // pg, 0, last
+            )
+            jc = jnp.maximum(jc, first)
+        return jc
 
-    def kv_index3(b_, hk, j, table_ref, lens_ref, mp=max_pages, pg=page):
-        last = jnp.maximum((lens_ref[b_] - 1) // pg, 0)
-        jc = jnp.minimum(j, last)
-        return (table_ref[b_ * mp + jc], hk, 0)
+    def kv_index(b_, hk, j, table_ref, lens_ref, mp=max_pages):
+        return (table_ref[b_ * mp + page_step(b_, j, lens_ref)], hk, 0, 0)
+
+    def kv_index3(b_, hk, j, table_ref, lens_ref, mp=max_pages):
+        return (table_ref[b_ * mp + page_step(b_, j, lens_ref)], hk, 0)
 
     in_specs = [
         pl.BlockSpec(
@@ -424,8 +460,10 @@ def paged_decode_attention(
         scale=scale,
         max_pages=max_pages,
         nq=nq,
+        softcap=float(softcap),
+        window_left=window_left,
     )
-    o, _ = pl.pallas_call(
+    o, lse_wide = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -437,7 +475,32 @@ def paged_decode_attention(
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(*inputs)
-    return o[:, :, :rows].reshape(b, hq, nq, dv_dim)
+    out = o[:, :, :rows].reshape(b, hq, nq, dv_dim)
+    if sinks is not None:
+        # Sink-inclusive softmax as an exact LSE rescale (see
+        # ops/attention.py:_apply_sinks) — zero kernel cost.
+        lse = lse_wide[:, :, :rows, 0].reshape(b, hq, nq)
+        sink_col = jnp.asarray(sinks, jnp.float32)[None, :, None]
+        lse_s = jnp.logaddexp(lse, sink_col)
+        out = (
+            out.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]
+        ).astype(out.dtype)
+    return out
+
+
+def releasable_lead_pages(lens, window_left: int, page_size: int, nq: int = 1):
+    """Host-side helper: per-sequence count of LEADING pages that a
+    sliding-window decode can no longer read (every row is below
+    ``lens[b] - nq - window_left``, the earliest position any future token
+    attends — lens only grows, so the bound is monotone). A vLLM-style
+    engine releases ``seq_pages[:n]`` back to the PageAllocator between
+    steps; the table entries can stay (the clamped page walk never visits
+    them)."""
+    import numpy as np
+
+    lens = np.asarray(lens)
+    first_needed = np.maximum(lens - nq - window_left, 0)
+    return (first_needed // page_size).astype(np.int32)
 
 
 def _paged_no_scales(kernel):

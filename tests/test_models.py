@@ -340,8 +340,9 @@ def test_feature_model_trains_and_decodes():
 
 
 def test_serve_batch_window_model_runs():
-    """serve_batch honors the window/softcap/sinks config (window realized
-    in the ragged validity bias); paged serving rejects it explicitly."""
+    """Both serving flavors honor the window/softcap/sinks config: the
+    shared-row cache realizes the window in the ragged validity bias; the
+    paged kernel realizes it as a page-walk clamp."""
     from ffpa_attn_tpu.models.serving import serve_batch, serve_batch_paged
 
     cfg = ModelConfig(
@@ -364,7 +365,8 @@ def test_serve_batch_window_model_runs():
     toks = serve_batch(params, prompts, steps=4, cfg=cfg, max_len=128)
     assert toks.shape == (2, 4)
     assert bool(jnp.all((toks >= 0) & (toks < cfg.vocab_size)))
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="paged"):
-        serve_batch_paged(params, prompts, 4, cfg, 128)
+    toks_p = serve_batch_paged(
+        params, prompts, 4, cfg, 128, page_size=32
+    )
+    assert toks_p.shape == (2, 4)
+    assert bool(jnp.all((toks_p >= 0) & (toks_p < cfg.vocab_size)))

@@ -354,3 +354,62 @@ def test_paged_speculative_tail(quantized):
         )[:, :, -nq:]
         tol = 5e-2 if not quantized else 6e-2
         assert _rel(out[i : i + 1], ref) < tol, f"seq {i} q={quantized}"
+
+
+def test_paged_window_softcap_sinks():
+    """Windowed paged decode (page-walk clamp) + softcap + sinks vs the
+    dense oracle over each sequence's true rows; releasable_lead_pages
+    accounting checked against the kernel's page-walk bound."""
+    import numpy as np
+
+    from ffpa_attn_tpu.ops.paged import (
+        PagedKVCache,
+        fill_from_prefill,
+        paged_decode_attention,
+        releasable_lead_pages,
+    )
+    from ffpa_attn_tpu.ops.reference import (
+        expand_kv_heads,
+        reference_attention,
+    )
+
+    b, hq, hkv, d, page = 2, 4, 2, 320, 64
+    max_len = 512
+    lens = jnp.asarray([450, 200], jnp.int32)
+    key = jax.random.PRNGKey(50)
+    kq, kk, kv, ks = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, hq, 1, d), jnp.bfloat16)
+    k_dense = jax.random.normal(kk, (b, hkv, max_len, d), jnp.bfloat16)
+    v_dense = jax.random.normal(kv, (b, hkv, max_len, d), jnp.bfloat16)
+    sinks = jax.random.normal(ks, (hq,), jnp.float32) * 0.5
+
+    cache = PagedKVCache.alloc(b, max_len, hkv, d, page_size=page)
+    cache = fill_from_prefill(cache, k_dense, v_dense, lens)
+
+    w = 128
+    out = paged_decode_attention(
+        q, cache, scale=d**-0.5, window_left=w, softcap=25.0, sinks=sinks
+    )
+    for i in range(b):
+        n = int(lens[i])
+        ref = reference_attention(
+            q[i : i + 1],
+            expand_kv_heads(k_dense[i : i + 1, :, :n], hq),
+            expand_kv_heads(v_dense[i : i + 1, :, :n], hq),
+            is_causal=True,
+            window=(w, -1),
+            softcap=25.0,
+            sinks=sinks,
+            scale=d**-0.5,
+        )
+        gg = np.asarray(out[i], np.float32)
+        rr = np.asarray(ref[0], np.float32)
+        rel = np.max(np.abs(gg - rr)) / (np.max(np.abs(rr)) + 1e-9)
+        assert rel < 3e-2, (i, rel)
+
+    # Page accounting: leading pages the walk can no longer touch.
+    rel_pages = releasable_lead_pages(lens, w, page, nq=1)
+    first_needed = np.maximum(np.asarray(lens) - 1 - w, 0)
+    assert (rel_pages * page <= first_needed).all()
+    # A sequence of 450 with W=128: positions < 321 dead -> 5 full pages.
+    assert rel_pages[0] == (450 - 1 - 128) // 64
