@@ -55,6 +55,27 @@ class ModelConfig:
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
+    # -- family presets (attention-feature combinations of the public
+    # model families these kwargs exist for; sizes stay caller-chosen) --
+
+    @classmethod
+    def mistral_like(cls, sliding_window: int = 4096, **kw) -> "ModelConfig":
+        """Causal sliding-window attention (Mistral-7B-style)."""
+        return cls(sliding_window=sliding_window, **kw)
+
+    @classmethod
+    def gemma2_like(cls, sliding_window: int = 4096,
+                    attn_softcap: float = 50.0, **kw) -> "ModelConfig":
+        """Logit soft-capping + sliding window (Gemma-2-style)."""
+        return cls(
+            sliding_window=sliding_window, attn_softcap=attn_softcap, **kw
+        )
+
+    @classmethod
+    def gpt_oss_like(cls, sliding_window: int = 128, **kw) -> "ModelConfig":
+        """Learnable attention sinks + sliding window (gpt-oss-style)."""
+        return cls(sliding_window=sliding_window, attn_sinks=True, **kw)
+
 
 def _dense_init(key, shape, dtype, scale=None):
     fan_in = shape[0]
@@ -164,19 +185,32 @@ def _attention(layer, x, cfg: ModelConfig, mesh: Optional[Mesh], sp_axis, tp_axi
     q = _rope(q, positions)
     k = _rope(k, positions)
 
-    features = (
-        cfg.sliding_window > 0 or cfg.attn_softcap > 0.0 or cfg.attn_sinks
-    )
     if mesh is not None and sp_axis is not None and mesh.shape[sp_axis] > 1:
-        if features:
-            raise NotImplementedError(
-                "sliding_window/attn_softcap/attn_sinks are not yet wired "
-                "through the sequence-parallel ring path; run these configs "
-                "without sp (window attention rarely needs ring sharding — "
-                "its compute is O(N*W), not O(N^2))"
-            )
         s_count = mesh.shape[sp_axis]
         head_axis = None if mesh.shape.get(tp_axis, 1) == 1 else tp_axis
+        if cfg.sliding_window > 0:
+            # Window models shard by HALO EXCHANGE, not a ring: each chip
+            # fetches ceil(W/Nl) left-neighbor KV shards once and every
+            # query's window is local (parallel/window.py) — softcap and
+            # sinks compose exactly (merge-free structure).
+            from ..parallel.window import window_attention_sharded
+
+            o = window_attention_sharded(
+                q, k, v, mesh,
+                seq_axis=sp_axis, head_axis=head_axis,
+                window_left=cfg.sliding_window,
+                softcap=cfg.attn_softcap,
+                sinks=layer["attn_sinks"] if cfg.attn_sinks else None,
+            )
+            o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * dh)
+            return o @ layer["wo"]
+        if cfg.attn_softcap > 0.0 or cfg.attn_sinks:
+            raise NotImplementedError(
+                "attn_softcap/attn_sinks without a sliding window are not "
+                "wired through the sequence-parallel ring (its per-step "
+                "partial softmaxes cannot host them); set sliding_window "
+                "or run without sp"
+            )
         if n % (2 * s_count) == 0:
             # Zigzag layout: each chip owns one early + one late chunk, so
             # the causal FLOP saving survives sharding (parallel/zigzag.py;

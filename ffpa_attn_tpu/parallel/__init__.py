@@ -10,9 +10,12 @@ from .mesh import initialize_distributed, make_mesh
 from .ring import ring_attention, ring_attention_sharded
 from .tp import head_parallel_attention, paged_head_parallel_decode
 from .ulysses import ulysses_attention, ulysses_attention_sharded
+from .window import window_attention, window_attention_sharded
 from .zigzag import zigzag_ring_attention_sharded
 
 __all__ = [
+    "window_attention",
+    "window_attention_sharded",
     "ring_scaling_projection",
     "two_host_report",
     "initialize_distributed",

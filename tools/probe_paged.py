@@ -85,6 +85,36 @@ def main():
                 f"{str(exc)[:140]}", flush=True,
             )
 
+        if page == 256 and not quant:
+            # Windowed paged decode: the page-walk clamp should stream
+            # only ~W bytes per sequence regardless of lens (the Mistral/
+            # gpt-oss serving shape). Report effective bandwidth on the
+            # WINDOW bytes — time should track W, not lens.
+            for w in (512, 1024):
+                def paged_w(q_, tbl, lens_, kp, vp, w=w):
+                    cc = PagedKVCache(kp, vp, tbl, lens_, None, None)
+                    return paged_decode_attention(q_, cc, window_left=w)
+
+                try:
+                    t = time_chained(
+                        paged_w, q, c.page_table, c.lens, c.k_pages,
+                        c.v_pages, iters=8,
+                    )
+                    win_gib = 2 * hkv * d * 2 * sum(
+                        min(l, w + 1) for l in lens
+                    ) / 2**30
+                    print(
+                        f"paged  page={page:4d} bf16 window={w}: "
+                        f"{t:7.3f} ms  ({win_gib / (t / 1e3):6.1f} GiB/s "
+                        f"on window bytes)",
+                        flush=True,
+                    )
+                except Exception as exc:
+                    print(
+                        f"paged window={w}: FAILED {str(exc)[:140]}",
+                        flush=True,
+                    )
+
 
 if __name__ == "__main__":
     main()
