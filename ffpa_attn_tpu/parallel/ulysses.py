@@ -33,14 +33,38 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..interface import ffpa_attn_func
 
 
-def _ulysses_local(q, k, v, *, axis_name, scale, causal, enable_gqa):
+def _ulysses_local(
+    q, k, v, *, axis_name, scale, causal, enable_gqa,
+    softcap=0.0, window=(-1, -1), alibi_slopes=None, sinks=None,
+):
     # [B, H, Nl, D] -> [B, Hl, N, D]: scatter heads, gather sequence.
     a2a = lambda x: jax.lax.all_to_all(
         x, axis_name, split_axis=1, concat_axis=2, tiled=True
     )
     q_h, k_h, v_h = a2a(q), a2a(k), a2a(v)
+    # Each chip holds the FULL sequence for its head block, so every
+    # feature works unchanged; per-head operands (ALiBi slopes, sinks)
+    # slice to the chip's head range. all_to_all(split_axis=1, tiled)
+    # gives chip i heads [i*Hl, (i+1)*Hl).
+    extra = {}
+    if softcap and softcap > 0.0:
+        extra["softcap"] = softcap
+    if window != (-1, -1):
+        extra["window_size"] = window
+    if alibi_slopes is not None or sinks is not None:
+        idx = jax.lax.axis_index(axis_name)
+        hl = q_h.shape[1]
+        if alibi_slopes is not None:
+            extra["alibi_slopes"] = jax.lax.dynamic_slice_in_dim(
+                alibi_slopes, idx * hl, hl, axis=-1
+            )
+        if sinks is not None:
+            extra["sinks"] = jax.lax.dynamic_slice_in_dim(
+                sinks, idx * hl, hl
+            )
     o_h = ffpa_attn_func(
-        q_h, k_h, v_h, is_causal=causal, scale=scale, enable_gqa=enable_gqa
+        q_h, k_h, v_h, is_causal=causal, scale=scale, enable_gqa=enable_gqa,
+        **extra,
     )
     # [B, Hl, N, D] -> [B, H, Nl, D]: gather heads, scatter sequence.
     return jax.lax.all_to_all(
@@ -57,18 +81,25 @@ def ulysses_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     enable_gqa: bool = False,
+    softcap: float = 0.0,
+    window=(-1, -1),
+    alibi_slopes=None,
+    sinks=None,
 ):
     """Per-shard entry (call inside an existing shard_map with ``axis_name``).
 
     Per-shard shapes: q [B, Hq, Nq/S, D], k/v [B, Hkv, Nkv/S, D].
     Requires Hq % S == 0 (and Hkv % S == 0 under GQA) — the all-to-all
-    scatters the head axis across S chips.
+    scatters the head axis across S chips. softcap/window/alibi/sinks
+    compose (full sequence per head block; per-head operands replicated
+    and sliced in-shard).
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     return _ulysses_local(
         q, k, v, axis_name=axis_name, scale=float(scale), causal=causal,
-        enable_gqa=enable_gqa,
+        enable_gqa=enable_gqa, softcap=softcap, window=tuple(window),
+        alibi_slopes=alibi_slopes, sinks=sinks,
     )
 
 
@@ -82,8 +113,13 @@ def ulysses_attention_sharded(
     scale: Optional[float] = None,
     causal: bool = False,
     enable_gqa: bool = False,
+    softcap: float = 0.0,
+    window=(-1, -1),
+    alibi_slopes=None,
+    sinks=None,
 ):
-    """Whole-array entry: q/k/v sequence-sharded on ``seq_axis``."""
+    """Whole-array entry: q/k/v sequence-sharded on ``seq_axis``.
+    softcap/window/alibi/sinks compose (see ``ulysses_attention``)."""
     sp = mesh.shape[seq_axis]
     hq, hkv = q.shape[1], k.shape[1]
     if hq % sp != 0:
@@ -93,17 +129,35 @@ def ulysses_attention_sharded(
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     spec = P(None, None, seq_axis, None)
+    small_specs, small_args = [], []
+    import jax.numpy as jnp
 
-    def _local(q_, k_, v_):
+    if alibi_slopes is not None:
+        small_specs.append(P())
+        small_args.append(jnp.asarray(alibi_slopes, jnp.float32))
+    if sinks is not None:
+        small_specs.append(P())
+        small_args.append(jnp.asarray(sinks, jnp.float32))
+
+    def _local(q_, k_, v_, *small):
+        pos = 0
+        al = sk = None
+        if alibi_slopes is not None:
+            al = small[pos]
+            pos += 1
+        if sinks is not None:
+            sk = small[pos]
         return _ulysses_local(
             q_, k_, v_, axis_name=seq_axis, scale=float(scale),
             causal=causal, enable_gqa=enable_gqa,
+            softcap=softcap, window=tuple(window),
+            alibi_slopes=al, sinks=sk,
         )
 
     return shard_map(
         _local,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, *small_specs),
         out_specs=spec,
         check_vma=False,
-    )(q, k, v)
+    )(q, k, v, *small_args)

@@ -224,3 +224,50 @@ def test_window_model_trains_under_sp_mesh():
         losses.append(float(loss))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_ulysses_features_on_cpu_mesh():
+    """Ulysses all-to-all sharding composes with every extension feature:
+    each chip holds the full sequence for its head block, per-head
+    operands (slopes, sinks) slice by axis_index."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ffpa_attn_tpu.parallel import ulysses_attention_sharded
+    from ffpa_attn_tpu.ops.reference import reference_attention
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    b, h, n, d = 1, 4, 1024, 320
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, h, n, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, n, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, n, d), jnp.bfloat16)
+    do = jax.random.normal(ks[3], (b, h, n, d), jnp.bfloat16)
+    sl = jnp.asarray([0.01, 0.02, 0.03, 0.04], jnp.float32)
+    sinks = jnp.asarray([0.3, 0.0, -0.2, 0.5], jnp.float32)
+    fkw = dict(causal=True, softcap=25.0, window=(256, -1),
+               alibi_slopes=sl, sinks=sinks)
+    rkw = dict(is_causal=True, softcap=25.0, window=(256, -1),
+               alibi_slopes=sl, sinks=sinks)
+
+    def rel(a, bb):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        return float(np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9))
+
+    out = ulysses_attention_sharded(q, k, v, mesh, **fkw)
+    ref = reference_attention(q, k, v, **rkw)
+    assert rel(out, ref) < 3e-2, rel(out, ref)
+
+    g = jax.grad(lambda q_: jnp.sum(
+        ulysses_attention_sharded(q_, k, v, mesh, **fkw).astype(jnp.float32)
+        * do.astype(jnp.float32)
+    ))(q)
+    gr = jax.grad(lambda q_: jnp.sum(reference_attention(
+        q_.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), **rkw,
+    ).astype(jnp.float32) * do.astype(jnp.float32)))(q)
+    assert rel(g, gr) < 6e-2, rel(g, gr)
