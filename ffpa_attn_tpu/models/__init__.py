@@ -5,6 +5,7 @@ The reference validates E2E with Gemma4-31B layers at D=512 under FSDP
 an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
 """
 
+from .checkpoint import latest_step, restore_train_state, save_train_state
 from .generate import decode_step, generate, init_kv_cache, prefill
 from .serving import pack_prompts, prefill_packed, serve_batch, serve_batch_paged
 from .transformer import (
@@ -31,4 +32,7 @@ __all__ = [
     "prefill_packed",
     "serve_batch",
     "serve_batch_paged",
+    "save_train_state",
+    "restore_train_state",
+    "latest_step",
 ]

@@ -370,3 +370,50 @@ def test_serve_batch_window_model_runs():
     )
     assert toks_p.shape == (2, 4)
     assert bool(jnp.all((toks_p >= 0) & (toks_p < cfg.vocab_size)))
+
+
+def test_checkpoint_resume_bit_faithful(tmp_path):
+    """orbax checkpoint/resume (models/checkpoint.py): a restored
+    (params, opt_state) continues the optimizer trajectory EXACTLY —
+    the aux subsystem the stateless reference has no story for."""
+    import optax
+
+    from ffpa_attn_tpu.models import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=2, n_kv_heads=2,
+        head_dim=320, max_seq_len=128, dtype="bfloat16",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+    step = make_train_step(cfg, opt)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 129), 0, 64)
+    for _ in range(2):
+        params, st, _ = step(params, st, toks)
+
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, 2, params, st)
+    assert latest_step(d) == 2
+
+    p0 = init_params(jax.random.PRNGKey(0), cfg)
+    rp, rs, rstep = restore_train_state(d, p0, opt.init(p0))
+    assert rstep == 2
+    _, _, la = step(params, st, toks)
+    _, _, lb = step(rp, rs, toks)
+    assert float(la) == float(lb)
+
+    # Config mismatch fails loudly (template validation).
+    cfg2 = ModelConfig(
+        vocab_size=64, d_model=96, n_layers=1, n_heads=2, n_kv_heads=2,
+        head_dim=320, max_seq_len=128, dtype="bfloat16",
+    )
+    p2 = init_params(jax.random.PRNGKey(0), cfg2)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        restore_train_state(d, p2, opt.init(p2))
