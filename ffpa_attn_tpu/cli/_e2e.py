@@ -95,6 +95,7 @@ def bench_decode(
 def _bench_serve_impl(
     serve_fn, metric: str, *, batch, prompt_len, gen_len, d_model, n_layers,
     n_heads, n_kv_heads, head_dim, vocab, extra_cfg: str = "",
+    cfg_overrides: dict | None = None,
     **serve_kwargs,
 ) -> dict:
     """Shared continuous-batching bench: same workload for every serving
@@ -107,6 +108,7 @@ def _bench_serve_impl(
         vocab_size=vocab, d_model=d_model, n_layers=n_layers,
         n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
         max_seq_len=prompt_len + gen_len,
+        **(cfg_overrides or {}),
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -188,10 +190,32 @@ def bench_serve_paged_int8(**kw) -> dict:
     )
 
 
+def bench_serve_paged_window(
+    *, batch=4, prompt_len=1024, gen_len=128, window=256, **kw
+) -> dict:
+    """Sliding-window model serving over paged pools: the page-walk clamp
+    streams O(W) bytes per step regardless of cache length (the Mistral/
+    gpt-oss serving shape) — compare against serve_paged_tokens_per_s,
+    whose per-step stream grows with the full cache."""
+    from ..models.serving import serve_batch_paged
+
+    page_size = kw.pop("page_size", 128)
+    return _bench_serve_impl(
+        serve_batch_paged, "serve_paged_window_tokens_per_s", batch=batch,
+        prompt_len=prompt_len, gen_len=gen_len,
+        d_model=kw.pop("d_model", 1024), n_layers=kw.pop("n_layers", 4),
+        n_heads=kw.pop("n_heads", 8), n_kv_heads=kw.pop("n_kv_heads", 4),
+        head_dim=kw.pop("head_dim", 512), vocab=kw.pop("vocab", 32000),
+        extra_cfg=f"page{page_size} W{window} ",
+        cfg_overrides={"sliding_window": window},
+        page_size=page_size, **kw,
+    )
+
+
 def main(argv=None) -> int:
     for fn in (
         bench_train, bench_decode, bench_serve, bench_serve_paged,
-        bench_serve_paged_int8,
+        bench_serve_paged_int8, bench_serve_paged_window,
     ):
         try:
             print(json.dumps(fn()))
