@@ -34,6 +34,13 @@ step() {
 step 0 chip-sanity 300 python -c "import jax; print(jax.devices()); import jax.numpy as jnp; x=jnp.ones((256,256),jnp.bfloat16); print((x@x).block_until_ready().dtype)"
 step 1 verify-surface 2400 python tools/verify_surface.py
 step 2 device-tests 3600 env FFPA_TPU_RUN_DEVICE_TESTS=1 python -m pytest tests/test_on_device.py -x -q
+# Feature tier (softcap/window/alibi/sinks) compiled by REAL Mosaic — the
+# kernels only ran in interpret mode while the chip was down; catch any
+# lowering rejection before the long tune steps.
+step 23 verify-features 2400 python tools/verify_features.py
+step 24 bench-features 4200 python -m ffpa_attn_tpu.bench \
+  --cases sliding-window decode-gqa --directions fwd bwd \
+  --output docs/bench_v5e_features.md
 
 # --- 1. autotune: the VERDICT-ask shapes (max mode, isolated tasks) ---
 # 16K backward (ask #1), D>=640 backward incl. accumulator-split A/B (#2)

@@ -1,4 +1,8 @@
-"""Verify-skill drive: public surface flows, interpret mode (chip down)."""
+"""Public-surface verification drive: oracle parity, grads, decode/varlen
+/GQA, error taxonomy + the feature tier (softcap/window/alibi). Runs on
+whatever backend is attached: interpret mode on CPU, real Mosaic on the
+chip (campaign step: catches lowering rejections interpret mode hides).
+"""
 import jax, jax.numpy as jnp, numpy as np
 import ffpa_attn_tpu
 from ffpa_attn_tpu import ffpa_attn_func, ffpa_attn_varlen_func
