@@ -212,10 +212,58 @@ def bench_serve_paged_window(
     )
 
 
+def bench_speculative(
+    *, prompt_len=1024, gen_len=128, k_spec=4, d_model=1024, n_layers=4,
+    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000,
+) -> dict:
+    """Self-speculative decoding (draft == target: the acceptance-rate
+    ceiling): tokens/s vs bench_decode shows the verify-block win — k+1
+    positions score in ONE cache stream instead of k+1."""
+    import numpy as np
+
+    from ..models import ModelConfig, init_params, speculative_generate
+
+    cfg = ModelConfig(
+        vocab_size=vocab, d_model=d_model, n_layers=n_layers,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        max_seq_len=prompt_len + gen_len + k_spec + 2,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, vocab, (1, prompt_len)), jnp.int32)
+    max_len = prompt_len + gen_len + k_spec + 2
+
+    from ._bench import _sync
+
+    toks, stats = speculative_generate(
+        params, params, prompt, gen_len, cfg, cfg, max_len,
+        k_spec=k_spec, return_stats=True,
+    )
+    _sync(toks)  # compile
+    t0 = time.perf_counter()
+    toks, stats = speculative_generate(
+        params, params, prompt, gen_len, cfg, cfg, max_len,
+        k_spec=k_spec, return_stats=True,
+    )
+    _sync(toks)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "speculative_tokens_per_s",
+        "value": round(gen_len / dt, 1),
+        "unit": "tokens/s",
+        "config": f"self-spec k{k_spec} prompt{prompt_len} gen{gen_len} "
+        f"L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} Dh{head_dim}",
+        "accept_rate": round(
+            stats["draft_accepted"] / max(stats["proposals"], 1), 3
+        ),
+        "total_s": round(dt, 3),
+    }
+
+
 def main(argv=None) -> int:
     for fn in (
         bench_train, bench_decode, bench_serve, bench_serve_paged,
-        bench_serve_paged_int8, bench_serve_paged_window,
+        bench_serve_paged_int8, bench_serve_paged_window, bench_speculative,
     ):
         try:
             print(json.dumps(fn()))

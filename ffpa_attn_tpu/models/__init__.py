@@ -7,6 +7,7 @@ an FFPA-attention transformer with dp/tp/sp sharding for multi-chip runs.
 
 from .checkpoint import latest_step, restore_train_state, save_train_state
 from .generate import decode_step, generate, init_kv_cache, prefill
+from .speculative import speculative_generate
 from .serving import pack_prompts, prefill_packed, serve_batch, serve_batch_paged
 from .transformer import (
     ModelConfig,
@@ -35,4 +36,5 @@ __all__ = [
     "save_train_state",
     "restore_train_state",
     "latest_step",
+    "speculative_generate",
 ]

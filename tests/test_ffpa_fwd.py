@@ -279,3 +279,24 @@ def test_dispatch_shapes_smoke(d):
     out = ffpa_attn_func(q, k, v, is_causal=True)
     assert out.shape == q.shape
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), d
+
+
+@pytest.mark.parametrize("d", [320, 448, 512, 640, 768, 896, 1024])
+def test_dispatch_features_smoke(d):
+    """Feature dispatch smoke: softcap + sliding window + ALiBi + sinks
+    must launch and stay finite at every supported head dim (the config
+    ladder / VMEM model sees slightly different block shapes per D; the
+    feature masks and SMEM operands must survive all of them)."""
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (1, 2, 512, d), jnp.bfloat16)
+        for i in range(3)
+    )
+    out = ffpa_attn_func(
+        q, k, v, is_causal=True,
+        softcap=30.0,
+        window_size=(128, -1),
+        alibi_slopes=jnp.asarray([0.02, 0.07], jnp.float32),
+        sinks=jnp.asarray([0.3, -0.1], jnp.float32),
+    )
+    assert out.shape == q.shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), d

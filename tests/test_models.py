@@ -417,3 +417,34 @@ def test_checkpoint_resume_bit_faithful(tmp_path):
 
     with _pytest.raises(Exception):
         restore_train_state(d, p2, opt.init(p2))
+
+
+def test_speculative_generate_exact():
+    """Greedy speculative decoding is EXACT: the emitted sequence equals
+    the target's plain greedy trajectory whether the draft is the target
+    itself (near-total acceptance) or unrelated random params (zero
+    acceptance) — the draft only changes tokens-per-verify."""
+    from ffpa_attn_tpu.models import generate, speculative_generate
+
+    cfg = ModelConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=2, n_kv_heads=1,
+        head_dim=320, max_seq_len=256,
+    )
+    pt = init_params(jax.random.PRNGKey(0), cfg)
+    pd = init_params(jax.random.PRNGKey(7), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, 64)
+    steps = 8
+
+    want = generate(pt, prompt, steps, cfg, max_len=128)
+    got_self, st_self = speculative_generate(
+        pt, pt, prompt, steps, cfg, cfg, 128, k_spec=3, return_stats=True
+    )
+    got_rand, st_rand = speculative_generate(
+        pt, pd, prompt, steps, cfg, cfg, 128, k_spec=3, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_self), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_rand), np.asarray(want))
+    # Self-speculation must accept (nearly) everything; an unrelated draft
+    # (nearly) nothing — the mechanism, not luck.
+    assert st_self["draft_accepted"] >= st_self["proposals"] - 2, st_self
+    assert st_rand["draft_accepted"] <= 2, st_rand
