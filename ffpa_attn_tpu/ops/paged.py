@@ -250,6 +250,50 @@ def fill_from_prefill(cache: PagedKVCache, k_dense, v_dense, lens) -> PagedKVCac
     )
 
 
+def fill_slot(cache: PagedKVCache, slot: int, k_dense, v_dense, length) -> PagedKVCache:
+    """Load ONE sequence's dense K/V ([Hkv, Np, Dh]) into batch slot
+    ``slot``'s pages and set its length — the per-sequence half of
+    admission (PageAllocator.acquire + assign_sequence gave the slot its
+    pages; this fills them from a fresh prefill). One contiguous
+    page-sized DMA per page, like fill_from_prefill."""
+    hkv, np_, dh = k_dense.shape
+    page = cache.page_size
+    max_pages = cache.page_table.shape[1]
+    pad = cdiv(max(np_, 1), page) * page
+    n_seq_pages = pad // page
+    assert n_seq_pages <= max_pages, (np_, page, max_pages)
+
+    def load(pages, scale_pool, dense):
+        d4 = _pad_dim(dense, 1, pad)  # [Hkv, pad, Dh]
+        d4 = d4.reshape(hkv, n_seq_pages, page, dh).transpose(1, 0, 2, 3)
+        s4 = None
+        if scale_pool is not None:
+            d4, s4 = _quantize_rows(d4)  # scales [P, Hkv, page]
+
+        def body(j, carry):
+            pg, scl = carry
+            start = cache.page_table[slot, j]
+            pg = lax.dynamic_update_slice(
+                pg, d4[j][None].astype(pg.dtype), (start, 0, 0, 0)
+            )
+            if scl is not None:
+                scl = lax.dynamic_update_slice(scl, s4[j][None], (start, 0, 0))
+            return pg, scl
+
+        return lax.fori_loop(0, n_seq_pages, body, (pages, scale_pool))
+
+    k_pages, k_scales = load(cache.k_pages, cache.k_scales, k_dense)
+    v_pages, v_scales = load(cache.v_pages, cache.v_scales, v_dense)
+    return PagedKVCache(
+        k_pages=k_pages,
+        v_pages=v_pages,
+        page_table=cache.page_table,
+        lens=cache.lens.at[slot].set(jnp.int32(length)),
+        k_scales=k_scales,
+        v_scales=v_scales,
+    )
+
+
 def _paged_decode_kernel(
     table_ref,  # SMEM [B * max_pages] int32 (scalar prefetch)
     lens_ref,  # SMEM [B] int32 (scalar prefetch)

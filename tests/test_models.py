@@ -448,3 +448,41 @@ def test_speculative_generate_exact():
     # (nearly) nothing — the mechanism, not luck.
     assert st_self["draft_accepted"] >= st_self["proposals"] - 2, st_self
     assert st_rand["draft_accepted"] <= 2, st_rand
+
+
+def test_serving_engine_continuous_batching():
+    """True continuous batching (models/engine.py): 3 requests through 2
+    slots — the third is admitted mid-stream into a freed slot (pages
+    recycled through the allocator) — and every request's tokens exactly
+    match plain single-sequence generate."""
+    from ffpa_attn_tpu.models import generate
+    from ffpa_attn_tpu.models.engine import ServingEngine
+
+    cfg = ModelConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=2, n_kv_heads=2,
+        head_dim=320, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = ServingEngine(params, cfg, batch_slots=2, max_len=128, page_size=32)
+    rng = np.random.default_rng(0)
+    prompts = {}
+    for ln, mx in ((40, 5), (17, 4), (55, 3)):
+        p = jnp.asarray(rng.integers(0, 64, (ln,)), jnp.int32)
+        rid = eng.submit(p, max_new_tokens=mx)
+        prompts[rid] = (p, mx)
+    # Only 2 slots: request 2 must be queued, not active.
+    assert sum(s.active for s in eng.slots) == 2
+    assert len(eng.queue) == 1
+
+    done = {}
+    steps = 0
+    while not eng.done():
+        done.update(eng.step())
+        steps += 1
+        assert steps < 50
+    assert set(done) == set(prompts)
+    for rid, (p, mx) in prompts.items():
+        want = generate(params, p[None], mx, cfg, max_len=128)
+        assert done[rid][:mx] == [int(t) for t in np.asarray(want)[0]], rid
+    # All pages returned to the allocator (no leaks).
+    assert eng.alloc.free_pages == 2 * (128 // 32)
