@@ -139,9 +139,20 @@ class ServingEngine:
             rid, prompt, max_new = self.queue[0]
             n = int(prompt.shape[0])
             need = cdiv(min(n + max_new, self.max_len), self.page_size)
+            if need > self.max_pages:
+                raise ValueError(
+                    f"request {rid} needs {need} pages but a slot holds at "
+                    f"most {self.max_pages} (max_len={self.max_len})"
+                )
             pages = self.alloc.acquire(need)
             if pages is None:
-                return  # pool full; request stays queued
+                if not any(s.active for s in self.slots):
+                    raise RuntimeError(
+                        f"request {rid} needs {need} pages but only "
+                        f"{self.alloc.free_pages} are free with an idle "
+                        "batch — pool too small (raise extra_pages)"
+                    )
+                return  # pool full; request waits for evictions
             self.queue.pop(0)
 
             # Prefill the request alone (B=1 dense), then load its pages.
