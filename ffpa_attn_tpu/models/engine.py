@@ -91,10 +91,13 @@ class ServingEngine:
         self.alloc = PageAllocator(num_pages, reserved=1)
 
         def empty_pool():
+            # extra_pages must size the PHYSICAL pools too — the allocator
+            # hands those ids out, and an out-of-range page id would be
+            # silently clamped by dynamic_update_slice (page aliasing).
             c = PagedKVCache.alloc(
                 batch_slots, max_len, cfg.n_kv_heads, cfg.head_dim,
                 page_size=page_size, dtype=cfg.jnp_dtype,
-                quantized=quantized,
+                quantized=quantized, extra_pages=extra_pages or 0,
             )
             # alloc() pre-assigns contiguous pages; the engine owns the
             # table instead: all slots start idle on the null page with
@@ -114,18 +117,34 @@ class ServingEngine:
         self.queue: list = []
         self._next_id = 0
         self.steps_run = 0
+        # Requests that complete outside step()'s decode (degenerate
+        # budgets, EOS on the prefill token) buffer here until drained.
+        self._completed: dict = {}
 
     # -- request lifecycle -------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int) -> int:
+        prompt = jnp.asarray(prompt, jnp.int32)
+        if max_new_tokens < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new_tokens}")
+        if int(prompt.shape[0]) + 1 > self.max_len:
+            # A slot must hold the prompt plus at least one generated row.
+            raise ValueError(
+                f"prompt of {int(prompt.shape[0])} tokens cannot fit a slot "
+                f"of max_len={self.max_len}"
+            )
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, jnp.asarray(prompt, jnp.int32), max_new_tokens))
+        self.queue.append((rid, prompt, max_new_tokens))
         self._admit()
         return rid
 
     def done(self) -> bool:
-        return not self.queue and not any(s.active for s in self.slots)
+        return (
+            not self.queue
+            and not self._completed  # step() must drain instant finishes
+            and not any(s.active for s in self.slots)
+        )
 
     # -- internals -----------------------------------------------------------
 
@@ -133,17 +152,14 @@ class ServingEngine:
         from ..ops.paged import assign_sequence, cdiv, fill_slot
         from .generate import init_kv_cache, prefill
 
-        for i, slot in enumerate(self.slots):
-            if not self.queue or slot.active:
-                continue
+        # A degenerate request (budget 1 / instant EOS) frees its slot
+        # during this pass; keep admitting until no slot can take work.
+        while self.queue and (i := self._free_slot()) is not None:
             rid, prompt, max_new = self.queue[0]
             n = int(prompt.shape[0])
+            # Prompt length was validated at submit(); the slot row budget
+            # is clipped to max_len, so need <= max_pages by construction.
             need = cdiv(min(n + max_new, self.max_len), self.page_size)
-            if need > self.max_pages:
-                raise ValueError(
-                    f"request {rid} needs {need} pages but a slot holds at "
-                    f"most {self.max_pages} (max_len={self.max_len})"
-                )
             pages = self.alloc.acquire(need)
             if pages is None:
                 if not any(s.active for s in self.slots):
@@ -172,6 +188,19 @@ class ServingEngine:
                 active=True, request_id=rid, pages=pages, prompt_len=n,
                 emitted=[int(first)], max_new=max_new,
             )
+            # The prefill token may already complete the request (token
+            # budget of 1, or EOS straight away) — finish before any
+            # decode step so the budget is never exceeded.
+            if max_new <= 1 or (
+                self.eos_id is not None and int(first) == self.eos_id
+            ):
+                self._finish(i, self._completed)
+
+    def _free_slot(self):
+        for i, slot in enumerate(self.slots):
+            if not slot.active:
+                return i
+        return None
 
     def _finish(self, i: int, finished: dict) -> None:
         import dataclasses
@@ -192,9 +221,13 @@ class ServingEngine:
 
     def step(self) -> dict:
         """One batch decode step; returns completions {request_id: tokens}."""
-        finished: dict = {}
+        import numpy as np
+
+        finished, self._completed = self._completed, {}
         if not any(s.active for s in self.slots):
             self._admit()
+            finished.update(self._completed)
+            self._completed = {}
             if not any(s.active for s in self.slots):
                 return finished
 
@@ -204,19 +237,26 @@ class ServingEngine:
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         self.tokens = nxt
         self.steps_run += 1
-        nxt_host = [int(t) for t in nxt]
+        # ONE device->host transfer each for tokens and lens (a per-slot
+        # int() would serialize a round trip per active slot per step).
+        nxt_host = np.asarray(nxt)
+        lens_host = np.asarray(self.caches[0].lens)
 
         for i, slot in enumerate(self.slots):
             if not slot.active:
                 continue
-            slot.emitted.append(nxt_host[i])
-            hit_eos = self.eos_id is not None and nxt_host[i] == self.eos_id
-            cap = int(self.caches[0].lens[i]) >= min(
+            slot.emitted.append(int(nxt_host[i]))
+            hit_eos = (
+                self.eos_id is not None and int(nxt_host[i]) == self.eos_id
+            )
+            cap = int(lens_host[i]) >= min(
                 slot.prompt_len + slot.max_new, self.max_len
             )
             if hit_eos or cap or len(slot.emitted) >= slot.max_new:
                 self._finish(i, finished)
         self._admit()
+        finished.update(self._completed)
+        self._completed = {}
         return finished
 
 

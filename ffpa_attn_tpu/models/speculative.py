@@ -99,6 +99,11 @@ def _spec_loop(
         cache_t, cache_d, pos, tok, buf, count, accepted, n_iter = carry
 
         # Draft proposes k_spec tokens greedily (its cache rides along).
+        # One EXTRA step (k_spec + 1 total) exists purely to write the
+        # LAST draft's K/V into the draft cache: on full acceptance the
+        # next iteration resumes past that position and would otherwise
+        # attend a permanent zero row — silently degrading acceptance in
+        # exactly the high-acceptance regime. Its proposal is discarded.
         def draft_body(dc, t):
             cache_d, cur = dc
             logits, cache_d = decode_step(params_d, cache_d, pos + t, cur, cfg_d)
@@ -106,9 +111,10 @@ def _spec_loop(
             return (cache_d, nxt), nxt
 
         (cache_d, _), drafts = jax.lax.scan(
-            draft_body, (cache_d, tok), jnp.arange(k_spec, dtype=jnp.int32)
+            draft_body, (cache_d, tok),
+            jnp.arange(k_spec + 1, dtype=jnp.int32),
         )
-        drafts = jnp.moveaxis(drafts, 0, 1)  # [B, k_spec]
+        drafts = jnp.moveaxis(drafts, 0, 1)[:, :k_spec]  # [B, k_spec]
 
         # Target scores tok + drafts in ONE (k_spec+1)-row decode call.
         block = jnp.concatenate([tok[:, None], drafts], axis=1)

@@ -70,7 +70,7 @@ def _to_compute_dtype(q, k, v):
     return q, k, v, False
 
 
-def _apply_sinks(o, lse, sinks):
+def apply_sinks(o, lse, sinks, head_axis: int = 1):
     """Fold per-head sink logits into the softmax normalizer.
 
     The kernels compute the sink-free softmax (o, lse); the exact
@@ -80,12 +80,32 @@ def _apply_sinks(o, lse, sinks):
     UNCHANGED on (o', lse'): with p = exp(s - lse'), the standard
     ``ds = p * (dp - rowsum(dO*O))`` identity already accounts for the
     sink's normalizer share (the sink's own dp is zero — it attends no
-    value), and ``dsink = -exp(sink - lse') * rowsum(dO*O)`` falls out in
-    closed form from the saved residuals (computed in _core_bwd)."""
-    sink_col = sinks.astype(jnp.float32)[None, :, None]
+    value), and ``dsink`` falls out in closed form (:func:`sink_grad`).
+
+    ``head_axis`` locates the head dim of ``lse`` (1 for the dense
+    [B, H, N] layout, 0 for varlen's head-major [H, T])."""
+    shape = [1] * lse.ndim
+    shape[head_axis] = -1
+    sink_col = sinks.astype(jnp.float32).reshape(shape)
     lse_s = jnp.logaddexp(lse, sink_col)
     o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
     return o_s, lse_s
+
+
+def sink_grad(do, o, lse, sinks, head_axis: int = 1):
+    """Closed-form sink gradient from the sink-inclusive residuals:
+    ``dsink_h = -sum exp(sink_h - lse') * rowsum(dO * O)`` over every
+    non-head axis."""
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    shape = [1] * lse.ndim
+    shape[head_axis] = -1
+    p_sink = jnp.exp(sinks.astype(jnp.float32).reshape(shape) - lse)
+    axes = tuple(ax for ax in range(lse.ndim) if ax != head_axis)
+    return (-jnp.sum(p_sink * delta, axis=axes)).astype(sinks.dtype)
+
+
+# Backward-compat local alias (pre-dedup name used within this module).
+_apply_sinks = apply_sinks
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -368,14 +388,8 @@ def _core_bwd(static: StaticArgs, residuals, do):
                 q, k, v, bias, o, lse, do, scores=scores, alibi_slopes=alibi
             )
         if sinks is not None:
-            # dsink_h = -sum_{b,rows} exp(sink_h - lse') * rowsum(dO * O):
-            # the sink's softmax share times the (negated) delta term — in
-            # closed form from the residuals, no kernel involvement.
-            delta = jnp.sum(
-                do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-            )
-            p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
-            dsinks = (-jnp.sum(p_sink * delta, axis=(0, 2))).astype(sinks.dtype)
+            # Closed form from the residuals, no kernel involvement.
+            dsinks = sink_grad(do, o, lse, sinks)
     if was_f16:
         # Cotangents return in the primal's f16 unless an explicit grad
         # storage dtype was requested.

@@ -309,11 +309,9 @@ def _decode_no_bias(kernel):
 
 
 def _decode_apply_sinks(o, lse, sinks):
-    """Sink-inclusive rescale (see ops/attention.py:_apply_sinks)."""
-    sink_col = sinks.astype(jnp.float32)[None, :, None]
-    lse_s = jnp.logaddexp(lse, sink_col)
-    o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
-    return o_s, lse_s
+    from .attention import apply_sinks
+
+    return apply_sinks(o, lse, sinks, head_axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -359,9 +357,9 @@ def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
     )
     dsinks = None
     if sinks is not None:
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-        p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
-        dsinks = (-jnp.sum(p_sink * delta, axis=(0, 2))).astype(sinks.dtype)
+        from .attention import sink_grad
+
+        dsinks = sink_grad(do, o, lse, sinks, head_axis=1)
     return dq, dk, dv, dbias, dsinks
 
 

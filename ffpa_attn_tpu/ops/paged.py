@@ -521,14 +521,11 @@ def paged_decode_attention(
     )(*inputs)
     out = o[:, :, :rows].reshape(b, hq, nq, dv_dim)
     if sinks is not None:
-        # Sink-inclusive softmax as an exact LSE rescale (see
-        # ops/attention.py:_apply_sinks) — zero kernel cost.
+        # Sink-inclusive softmax as an exact LSE rescale — zero kernel cost.
+        from .attention import apply_sinks
+
         lse = lse_wide[:, :, :rows, 0].reshape(b, hq, nq)
-        sink_col = jnp.asarray(sinks, jnp.float32)[None, :, None]
-        lse_s = jnp.logaddexp(lse, sink_col)
-        out = (
-            out.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]
-        ).astype(out.dtype)
+        out, _ = apply_sinks(out, lse, jnp.asarray(sinks), head_axis=1)
     return out
 
 

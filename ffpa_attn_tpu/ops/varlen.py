@@ -682,12 +682,10 @@ def _varlen_backward(
 
 
 def _varlen_apply_sinks(o, lse, sinks):
-    """Sink-inclusive rescale, head-major layout (see
-    ops/attention.py:_apply_sinks for the math)."""
-    sink_col = sinks.astype(jnp.float32)[:, None]
-    lse_s = jnp.logaddexp(lse, sink_col)
-    o_s = (o.astype(jnp.float32) * jnp.exp(lse - lse_s)[..., None]).astype(o.dtype)
-    return o_s, lse_s
+    """Sink-inclusive rescale, head-major [H, T] layout."""
+    from .attention import apply_sinks
+
+    return apply_sinks(o, lse, sinks, head_axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
@@ -733,9 +731,9 @@ def _varlen_core_bwd(
     )
     dsinks = None
     if sinks is not None:
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-        p_sink = jnp.exp(sinks.astype(jnp.float32)[:, None] - lse)
-        dsinks = (-jnp.sum(p_sink * delta, axis=1)).astype(sinks.dtype)
+        from .attention import sink_grad
+
+        dsinks = sink_grad(do, o, lse, sinks, head_axis=0)
     dalibi = None if alibi is None else jnp.zeros_like(alibi)
     return dq, dk, dv, None, dalibi, dsinks
 

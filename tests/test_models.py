@@ -486,3 +486,48 @@ def test_serving_engine_continuous_batching():
         assert done[rid][:mx] == [int(t) for t in np.asarray(want)[0]], rid
     # All pages returned to the allocator (no leaks).
     assert eng.alloc.free_pages == 2 * (128 // 32)
+
+
+def test_serving_engine_edge_budgets():
+    """Review fixes locked: max_new_tokens=1 emits exactly one token
+    (finished at admission, never over-budget); EOS on the prefill token
+    stops immediately; oversized prompts and zero budgets fail loudly."""
+    import pytest as _pytest
+
+    from ffpa_attn_tpu.models import generate
+    from ffpa_attn_tpu.models.engine import ServingEngine
+
+    cfg = ModelConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=2, n_kv_heads=2,
+        head_dim=320, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    p = jax.random.randint(jax.random.PRNGKey(3), (24,), 0, 64)
+    want = generate(params, p[None], 1, cfg, max_len=128)
+    first = int(np.asarray(want)[0, 0])
+
+    eng = ServingEngine(params, cfg, batch_slots=1, max_len=128, page_size=32)
+    rid = eng.submit(p, max_new_tokens=1)
+    done = {}
+    steps = 0
+    while not eng.done():
+        done.update(eng.step())
+        steps += 1
+        assert steps < 5
+    assert done[rid] == [first], done
+    assert eng.alloc.free_pages == 128 // 32  # pages recycled
+
+    # EOS == the first generated token: request finishes at admission.
+    eng2 = ServingEngine(
+        params, cfg, batch_slots=1, max_len=128, page_size=32, eos_id=first
+    )
+    rid2 = eng2.submit(p, max_new_tokens=8)
+    done2 = {}
+    while not eng2.done():
+        done2.update(eng2.step())
+    assert done2[rid2] == [first], done2
+
+    with _pytest.raises(ValueError, match="max_new_tokens"):
+        eng.submit(p, max_new_tokens=0)
+    with _pytest.raises(ValueError, match="cannot fit"):
+        eng.submit(jnp.zeros((128,), jnp.int32), max_new_tokens=4)
