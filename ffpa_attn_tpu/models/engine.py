@@ -77,6 +77,10 @@ class ServingEngine:
         quantized: bool = False,
         eos_id: Optional[int] = None,
         extra_pages: Optional[int] = None,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         from ..ops.paged import PageAllocator, PagedKVCache, cdiv
 
@@ -120,6 +124,21 @@ class ServingEngine:
         # Requests that complete outside step()'s decode (degenerate
         # budgets, EOS on the prefill token) buffer here until drained.
         self._completed: dict = {}
+        # Sampling controls (temperature 0 = greedy); one PRNG stream for
+        # the whole engine — deterministic per (seed, arrival order).
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _sample(self, logits):
+        from .sampling import sample_logits
+
+        self._key, sub = jax.random.split(self._key)
+        return sample_logits(
+            logits, sub, temperature=self.temperature,
+            top_k=self.top_k, top_p=self.top_p,
+        )
 
     # -- request lifecycle -------------------------------------------------
 
@@ -177,7 +196,7 @@ class ServingEngine:
             logits, dense = prefill(
                 self.params, prompt[None], self.cfg, dense
             )
-            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+            first = self._sample(logits)[0]
             for li in range(self.cfg.n_layers):
                 self.caches[li] = assign_sequence(self.caches[li], i, pages)
                 self.caches[li] = fill_slot(
@@ -234,7 +253,7 @@ class ServingEngine:
         logits, self.caches = _engine_decode_step(
             self.params, self.caches, self.tokens, self.cfg
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = self._sample(logits)
         self.tokens = nxt
         self.steps_run += 1
         # ONE device->host transfer each for tokens and lens (a per-slot

@@ -144,16 +144,27 @@ def _prefill_jit(params, prompt, cache, cfg: ModelConfig):
     return prefill(params, prompt, cfg, cache)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "start", "steps"))
-def _decode_loop_jit(params, cache, first, cfg: ModelConfig, start: int, steps: int):
-    def body(carry, i):
-        cache, tok = carry
-        logits, cache = decode_step(params, cache, start + i, tok, cfg)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (cache, nxt), tok
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "start", "steps", "temperature", "top_k", "top_p"),
+)
+def _decode_loop_jit(
+    params, cache, first, key, cfg: ModelConfig, start: int, steps: int,
+    temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+):
+    from .sampling import sample_logits
 
-    (_, _), toks = jax.lax.scan(
-        body, (cache, first), jnp.arange(steps, dtype=jnp.int32)
+    def body(carry, i):
+        cache, tok, key_ = carry
+        logits, cache = decode_step(params, cache, start + i, tok, cfg)
+        key_, sub = jax.random.split(key_)
+        nxt = sample_logits(
+            logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+        )
+        return (cache, nxt, key_), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (cache, first, key), jnp.arange(steps, dtype=jnp.int32)
     )
     return jnp.moveaxis(toks, 0, 1)  # [B, steps]
 
@@ -165,16 +176,37 @@ def generate(
     cfg: ModelConfig,
     max_len: Optional[int] = None,
     greedy: bool = True,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    key=None,
 ):
     """Greedy generation: prompt [B, Np] int32 -> tokens [B, steps].
 
     One prefill program + one scanned decode-step program, both cached
     across ``generate`` calls (module-level jits with static cfg/lengths).
+
+    Sampling: the default (``temperature=0`` / ``greedy=True``) is argmax;
+    a positive ``temperature`` samples with optional ``top_k`` / nucleus
+    ``top_p`` filtering (models/sampling.py), seeded by ``key``
+    (``PRNGKey(0)`` if omitted) — fully deterministic per (key, inputs).
     """
     b, np_ = prompt.shape
     max_len = max_len or (np_ + steps)
     cache = init_kv_cache(cfg, b, max_len)
+    if not greedy and temperature <= 0.0:
+        temperature = 1.0
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    from .sampling import sample_logits
 
     logits, cache = _prefill_jit(params, prompt, cache, cfg)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return _decode_loop_jit(params, cache, first, cfg, np_, steps)
+    key, sub = jax.random.split(key)
+    first = sample_logits(
+        logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+    )
+    return _decode_loop_jit(
+        params, cache, first, key, cfg, np_, steps,
+        temperature=float(temperature), top_k=int(top_k), top_p=float(top_p),
+    )

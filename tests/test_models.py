@@ -531,3 +531,55 @@ def test_serving_engine_edge_budgets():
         eng.submit(p, max_new_tokens=0)
     with _pytest.raises(ValueError, match="cannot fit"):
         eng.submit(jnp.zeros((128,), jnp.int32), max_new_tokens=4)
+
+
+def test_sampling_controls():
+    """models/sampling.py: temperature 0 == argmax; top_k=1 == argmax even
+    at high temperature; fixed key is deterministic; top_p keeps the
+    smallest covering nucleus (always >= 1 token)."""
+    from ffpa_attn_tpu.models import generate
+    from ffpa_attn_tpu.models.sampling import sample_logits
+
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (4, 64)) * 3.0
+    am = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=0.0)), np.asarray(am)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=5.0, top_k=1)),
+        np.asarray(am),
+    )
+    # tiny top_p collapses to the argmax token too
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temperature=2.0, top_p=1e-6)),
+        np.asarray(am),
+    )
+    a = sample_logits(logits, key, temperature=1.0, top_k=8)
+    b_ = sample_logits(logits, key, temperature=1.0, top_k=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # top_k masks: samples always come from the top-k set
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        s = sample_logits(logits, sub, temperature=2.0, top_k=4)
+        topk = jnp.argsort(logits, axis=-1)[:, -4:]
+        for r in range(4):
+            assert int(s[r]) in [int(t) for t in topk[r]]
+
+    # generate() with temperature=0 equals the greedy path exactly.
+    cfg = ModelConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=2, n_kv_heads=2,
+        head_dim=320, max_seq_len=256,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    p = jax.random.randint(jax.random.PRNGKey(3), (1, 24), 0, 64)
+    g0 = generate(params, p, 4, cfg, max_len=64)
+    g1 = generate(params, p, 4, cfg, max_len=64, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    # sampled generation: valid tokens, deterministic per key
+    s1 = generate(params, p, 4, cfg, max_len=64, temperature=1.0,
+                  key=jax.random.PRNGKey(5))
+    s2 = generate(params, p, 4, cfg, max_len=64, temperature=1.0,
+                  key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert bool(jnp.all((s1 >= 0) & (s1 < 64)))
