@@ -42,6 +42,44 @@ from .generate import _feature_kwargs, _project_qkv, init_kv_cache, prefill
 from .transformer import ModelConfig, _mlp, _rmsnorm
 
 
+def speculative_accept(key, p_target, p_draft, drafts):
+    """Rejection-sampling acceptance (Leviathan et al. / DeepMind 2023).
+
+    Args:
+      key: PRNG key.
+      p_target: [k, vocab] target probabilities at the k draft positions.
+      p_draft: [k, vocab] draft probabilities at the same positions.
+      drafts: [k] int32 proposed tokens.
+
+    Returns (n_acc, next_token):
+      ``n_acc`` — accepted prefix length in [0, k]; draft t is accepted
+      with probability ``min(1, p_t[d_t] / p_d[d_t])``.
+      ``next_token`` — when ``n_acc < k``: a sample from the residual
+      ``max(0, p_t - p_d)`` (renormalized) at the first rejected position;
+      when everything was accepted the caller samples the bonus position
+      itself. The emitted sequence is then distributed EXACTLY as target
+      sampling, for any draft.
+    """
+    k, vocab = p_target.shape
+    key_u, key_r = jax.random.split(key)
+    ids = jnp.arange(k)
+    pt_d = p_target[ids, drafts]
+    pd_d = jnp.maximum(p_draft[ids, drafts], 1e-30)
+    u = jax.random.uniform(key_u, (k,))
+    accept = u < jnp.minimum(1.0, pt_d / pd_d)
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+    # Residual distribution at the FIRST rejected position (n_acc clamps
+    # to k-1 for indexing; unused when n_acc == k).
+    j = jnp.minimum(n_acc, k - 1)
+    resid = jnp.maximum(p_target[j] - p_draft[j], 0.0)
+    resid_mass = jnp.sum(resid)
+    # Degenerate p_t <= p_d everywhere (mass 0) cannot coincide with a
+    # rejection unless numerics collude; fall back to the target dist.
+    resid = jnp.where(resid_mass > 0.0, resid / resid_mass, p_target[j])
+    next_token = jax.random.categorical(key_r, jnp.log(resid + 1e-30))
+    return n_acc, next_token.astype(jnp.int32)
+
+
 def _verify_block(params, cache, pos, toks, cfg: ModelConfig):
     """Teacher-force ``toks`` [B, m] (m <= 8) at positions pos..pos+m-1.
 
@@ -84,34 +122,57 @@ def _verify_block(params, cache, pos, toks, cfg: ModelConfig):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg_t", "cfg_d", "k_spec", "iters")
+    jax.jit,
+    static_argnames=(
+        "cfg_t", "cfg_d", "k_spec", "iters", "temperature", "top_k", "top_p",
+    ),
 )
 def _spec_loop(
-    params_t, params_d, cache_t, cache_d, first, start,
+    params_t, params_d, cache_t, cache_d, first, start, key,
     cfg_t: ModelConfig, cfg_d: ModelConfig, k_spec: int, iters: int,
+    temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
 ):
     from .generate import decode_step
+    from .sampling import filter_logits
 
+    sampled = temperature > 0.0
     b = first.shape[0]
     buf = jnp.zeros((b, iters * (k_spec + 1)), jnp.int32)
 
+    def probs(logits):
+        return jax.nn.softmax(
+            filter_logits(
+                logits, temperature=temperature, top_k=top_k, top_p=top_p
+            ),
+            axis=-1,
+        )
+
     def outer(carry):
-        cache_t, cache_d, pos, tok, buf, count, accepted, n_iter = carry
+        cache_t, cache_d, pos, tok, key_, buf, count, accepted, n_iter = carry
+        key_, k_draft, k_acc, k_bonus = jax.random.split(key_, 4)
 
-        # Draft proposes k_spec tokens greedily (its cache rides along).
-        # One EXTRA step (k_spec + 1 total) exists purely to write the
-        # LAST draft's K/V into the draft cache: on full acceptance the
-        # next iteration resumes past that position and would otherwise
-        # attend a permanent zero row — silently degrading acceptance in
-        # exactly the high-acceptance regime. Its proposal is discarded.
+        # Draft proposes k_spec tokens (its cache rides along). One EXTRA
+        # step (k_spec + 1 total) exists purely to write the LAST draft's
+        # K/V into the draft cache: on full acceptance the next iteration
+        # resumes past that position and would otherwise attend a
+        # permanent zero row — silently degrading acceptance in exactly
+        # the high-acceptance regime. Its proposal is discarded.
         def draft_body(dc, t):
-            cache_d, cur = dc
+            cache_d, cur, dk = dc
             logits, cache_d = decode_step(params_d, cache_d, pos + t, cur, cfg_d)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (cache_d, nxt), nxt
+            dk, sub = jax.random.split(dk)
+            if sampled:
+                p = probs(logits)
+                nxt = jax.random.categorical(
+                    sub, jnp.log(p + 1e-30), axis=-1
+                ).astype(jnp.int32)
+            else:
+                p = jnp.zeros_like(logits[..., :1])  # unused placeholder
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache_d, nxt, dk), (nxt, p)
 
-        (cache_d, _), drafts = jax.lax.scan(
-            draft_body, (cache_d, tok),
+        (cache_d, _, _), (drafts, p_draft) = jax.lax.scan(
+            draft_body, (cache_d, tok, k_draft),
             jnp.arange(k_spec + 1, dtype=jnp.int32),
         )
         drafts = jnp.moveaxis(drafts, 0, 1)[:, :k_spec]  # [B, k_spec]
@@ -119,23 +180,47 @@ def _spec_loop(
         # Target scores tok + drafts in ONE (k_spec+1)-row decode call.
         block = jnp.concatenate([tok[:, None], drafts], axis=1)
         logits, cache_t = _verify_block(params_t, cache_t, pos, block, cfg_t)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 
-        # Longest accepted prefix: drafts[t] must equal the target's greedy
-        # continuation at position t (per batch row; the shared loop
-        # advances by the batch MINIMUM so every row's emissions are
-        # target-greedy — conservative but correct for ragged acceptance).
-        match = drafts == greedy[:, :k_spec]  # [B, k_spec]
-        n_acc = jnp.min(
-            jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-        )
+        if sampled:
+            # Rejection sampling (speculative_accept): exact target-
+            # sampling distribution for any draft. Shared batch advance =
+            # min acceptance; rows that accepted further emit their
+            # (accepted) draft at the cut position, others their residual
+            # sample / the bonus sample.
+            p_t = probs(logits)  # [B, k+1, vocab]
+            p_d = jnp.moveaxis(p_draft, 0, 1)[:, :k_spec]  # [B, k, vocab]
+            acc_keys = jax.random.split(k_acc, b)
+            n_acc_b, resid_b = jax.vmap(speculative_accept)(
+                acc_keys, p_t[:, :k_spec], p_d, drafts
+            )
+            n_acc = jnp.min(n_acc_b)
+            bonus_b = jax.vmap(
+                lambda kk, pp: jax.random.categorical(kk, jnp.log(pp + 1e-30))
+            )(jax.random.split(k_bonus, b), p_t[:, k_spec]).astype(jnp.int32)
+            new_tok = jnp.where(
+                n_acc_b > n_acc,  # row accepted past the cut: its draft
+                drafts[:, jnp.minimum(n_acc, k_spec - 1)],
+                jnp.where(n_acc == k_spec, bonus_b, resid_b),
+            )
+        else:
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+            # Longest accepted prefix: drafts[t] must equal the target's
+            # greedy continuation at position t (per batch row; the shared
+            # loop advances by the batch MINIMUM so every row's emissions
+            # are target-greedy — conservative but correct for ragged
+            # acceptance).
+            match = drafts == greedy[:, :k_spec]  # [B, k_spec]
+            n_acc = jnp.min(
+                jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            )
+            new_tok = greedy[jnp.arange(b), n_acc]
 
-        # Emit drafts[:n_acc] then the target's own token at the first
-        # non-accepted position (the "bonus" token when all accepted).
+        # Emit drafts[:n_acc] then the per-row token at the cut position
+        # (the "bonus" token when everything was accepted).
         emit = jnp.concatenate(
             [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
         )
-        emit = emit.at[:, n_acc].set(greedy[jnp.arange(b), n_acc])
+        emit = emit.at[:, n_acc].set(new_tok)
         for t in range(k_spec + 1):
             live = t <= n_acc
             buf = jax.lax.cond(
@@ -146,9 +231,8 @@ def _spec_loop(
                 lambda bu: bu,
                 buf,
             )
-        new_tok = greedy[jnp.arange(b), n_acc]
         return (
-            cache_t, cache_d, pos + n_acc + 1, new_tok,
+            cache_t, cache_d, pos + n_acc + 1, new_tok, key_,
             buf, count + n_acc + 1, accepted + n_acc, n_iter + 1,
         )
 
@@ -157,11 +241,11 @@ def _spec_loop(
     # whole point of speculation is to NOT run one target step per token.
     # ``iters`` (>= steps) bounds the worst case (0 acceptance).
     init = (
-        cache_t, cache_d, start, first, buf,
+        cache_t, cache_d, start, first, key, buf,
         jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
-    out = jax.lax.while_loop(lambda c: c[5] < iters, outer, init)
-    cache_t, cache_d, pos, tok, buf, count, accepted, n_iter = out
+    out = jax.lax.while_loop(lambda c: c[6] < iters, outer, init)
+    buf, count, accepted, n_iter = out[5], out[6], out[7], out[8]
     return buf, count, accepted, n_iter
 
 
@@ -175,8 +259,18 @@ def speculative_generate(
     max_len: int,
     k_spec: int = 4,
     return_stats: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    key=None,
 ):
-    """Greedy speculative decoding: returns [B, steps] target-greedy tokens.
+    """Speculative decoding: returns [B, steps] tokens.
+
+    ``temperature == 0`` (default) is GREEDY speculation — the output is
+    the target's exact greedy trajectory for any draft. ``temperature >
+    0`` is REJECTION-SAMPLING speculation (:func:`speculative_accept`):
+    the output is distributed exactly as target sampling with the same
+    temperature/top_k/top_p controls, again for any draft.
 
     ``max_len`` must leave ``steps + k_spec + 1`` rows of headroom past the
     prompt (the last verify block writes up to k_spec+1 rows beyond the
@@ -186,17 +280,26 @@ def speculative_generate(
     assert 1 <= k_spec <= 7, k_spec
     b, n = prompt.shape
     assert max_len >= n + steps + k_spec + 1, (max_len, n, steps, k_spec)
+    if key is None:
+        key = jax.random.PRNGKey(0)
     cache_t = init_kv_cache(cfg_target, b, max_len)
     cache_d = init_kv_cache(cfg_draft, b, max_len)
     logits_t, cache_t = prefill(params_target, prompt, cfg_target, cache_t)
     _, cache_d = prefill(params_draft, prompt, cfg_draft, cache_d)
-    first = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+    from .sampling import sample_logits
+
+    key, sub = jax.random.split(key)
+    first = sample_logits(
+        logits_t, sub, temperature=temperature, top_k=top_k, top_p=top_p
+    )
 
     # Worst case every iteration accepts 0 drafts -> 1 token; ``steps``
     # iterations always suffice.
     buf, count, accepted, n_iter = _spec_loop(
         params_target, params_draft, cache_t, cache_d, first,
-        n, cfg_target, cfg_draft, k_spec, steps,
+        n, key, cfg_target, cfg_draft, k_spec, steps,
+        temperature=float(temperature), top_k=int(top_k),
+        top_p=float(top_p),
     )
     toks = jnp.concatenate([first[:, None], buf], axis=1)[:, :steps]
     if return_stats:
