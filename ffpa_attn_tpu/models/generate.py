@@ -145,21 +145,26 @@ def _prefill_jit(params, prompt, cache, cfg: ModelConfig):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "start", "steps", "temperature", "top_k", "top_p"),
+    jax.jit, static_argnames=("cfg", "start", "steps", "sampled")
 )
 def _decode_loop_jit(
-    params, cache, first, key, cfg: ModelConfig, start: int, steps: int,
-    temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+    params, cache, first, key, controls, cfg: ModelConfig, start: int,
+    steps: int, sampled: bool = False,
 ):
+    """``controls`` = (temperature, top_k, top_p) as TRACED scalars — one
+    compiled loop serves every sampling setting; only the greedy/sampled
+    branch is structural (static ``sampled``)."""
     from .sampling import sample_logits
+
+    temperature, top_k, top_p = controls
 
     def body(carry, i):
         cache, tok, key_ = carry
         logits, cache = decode_step(params, cache, start + i, tok, cfg)
         key_, sub = jax.random.split(key_)
         nxt = sample_logits(
-            logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+            logits, sub, temperature=temperature, top_k=top_k, top_p=top_p,
+            sampled=sampled,
         )
         return (cache, nxt, key_), tok
 
@@ -181,7 +186,7 @@ def generate(
     top_p: float = 1.0,
     key=None,
 ):
-    """Greedy generation: prompt [B, Np] int32 -> tokens [B, steps].
+    """Autoregressive generation: prompt [B, Np] int32 -> tokens [B, steps].
 
     One prefill program + one scanned decode-step program, both cached
     across ``generate`` calls (module-level jits with static cfg/lengths).
@@ -196,6 +201,7 @@ def generate(
     cache = init_kv_cache(cfg, b, max_len)
     if not greedy and temperature <= 0.0:
         temperature = 1.0
+    sampled = float(temperature) > 0.0
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -204,9 +210,13 @@ def generate(
     logits, cache = _prefill_jit(params, prompt, cache, cfg)
     key, sub = jax.random.split(key)
     first = sample_logits(
-        logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+        logits, sub, temperature=temperature, top_k=top_k, top_p=top_p,
+        sampled=sampled,
+    )
+    controls = (
+        jnp.float32(temperature), jnp.int32(top_k), jnp.float32(top_p)
     )
     return _decode_loop_jit(
-        params, cache, first, key, cfg, np_, steps,
-        temperature=float(temperature), top_k=int(top_k), top_p=float(top_p),
+        params, cache, first, key, controls, cfg, np_, steps,
+        sampled=sampled,
     )

@@ -22,48 +22,68 @@ _NEG = jnp.float32(-1e30)
 def filter_logits(
     logits,
     *,
-    temperature: float = 1.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
+    temperature=1.0,
+    top_k=0,
+    top_p=1.0,
 ):
     """Temperature-scale + top-k + nucleus-filter ``logits`` [..., vocab]
     (filtered-out entries get -1e30). ``softmax`` of the result is the
     sampling distribution — also what rejection-sampling speculative
-    decoding needs as its target/draft probabilities."""
-    x = logits.astype(jnp.float32) / jnp.float32(max(temperature, 1e-6))
+    decoding needs as its target/draft probabilities.
+
+    Every control may be a PYTHON scalar or a TRACED scalar: the filter
+    arithmetic is written trace-friendly, so jitted serving loops can take
+    the controls as operands instead of static arguments (one compiled
+    program for all settings; only greedy-vs-sampled is structural). The
+    best token always survives filtering — ``top_p <= 0`` collapses to
+    argmax rather than masking everything, ``top_k <= 0`` disables top-k.
+    """
+    x = logits.astype(jnp.float32) / jnp.maximum(
+        jnp.float32(temperature), 1e-6
+    )
     vocab = x.shape[-1]
-    if top_k and 0 < top_k < vocab:
-        kth = jnp.sort(x, axis=-1)[..., vocab - top_k][..., None]
-        x = jnp.where(x >= kth, x, _NEG)
-    if top_p < 1.0:
-        sorted_x = jnp.sort(x, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_x, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Keep every logit whose sorted-prefix cumulative mass (EXCLUDING
-        # itself) is < p — the smallest nucleus covering p, always >= 1
-        # token.
-        keep_sorted = (cum - probs) < top_p
-        cutoff = jnp.min(
-            jnp.where(keep_sorted, sorted_x, jnp.inf), axis=-1, keepdims=True
-        )
-        x = jnp.where(x >= cutoff, x, _NEG)
-    return x
+    sorted_x = jnp.sort(x, axis=-1)[..., ::-1]  # descending
+    # top-k: keep logits >= the k-th largest; k <= 0 (or >= vocab) = off.
+    eff_k = jnp.clip(jnp.where(top_k > 0, top_k, vocab), 1, vocab)
+    kth = jnp.take_along_axis(
+        sorted_x,
+        jnp.broadcast_to(eff_k - 1, sorted_x.shape[:-1])[..., None],
+        axis=-1,
+    )
+    x = jnp.where(x >= kth, x, _NEG)
+    # nucleus: keep the smallest sorted prefix with cumulative mass >= p —
+    # every logit whose prefix mass EXCLUDING itself is < p. The top-1
+    # token always survives (index 0 forced True), so degenerate p <= 0
+    # means argmax instead of an all-masked vocabulary.
+    probs = jax.nn.softmax(sorted_x, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < top_p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    cutoff = jnp.min(
+        jnp.where(keep_sorted, sorted_x, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(x >= cutoff, x, _NEG)
 
 
 def sample_logits(
     logits,
     key,
     *,
-    temperature: float = 1.0,
-    top_k: int = 0,
-    top_p: float = 1.0,
+    temperature=1.0,
+    top_k=0,
+    top_p=1.0,
+    sampled=None,
 ):
     """Sample token ids from ``logits`` [..., vocab] -> int32 [...].
 
     ``temperature <= 0`` means greedy argmax (key unused). ``top_k <= 0``
     disables the top-k filter; ``top_p >= 1`` disables nucleus filtering.
+    The controls may be traced scalars; pass static ``sampled`` to pick
+    the greedy/sampled branch when temperature itself is traced.
     """
-    if temperature <= 0.0:
+    if sampled is None:
+        sampled = float(temperature) > 0.0
+    if not sampled:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     x = filter_logits(
         logits, temperature=temperature, top_k=top_k, top_p=top_p

@@ -1,4 +1,4 @@
-"""Greedy speculative decoding: draft-propose, target-verify serving loop.
+"""Speculative decoding: draft-propose, target-verify serving loop.
 
 The serving pattern the nq <= 8 decode tier exists for (ops/decode.py
 packs speculative tails into one Q row tile; ops/paged.py handles them over
@@ -7,10 +7,18 @@ then the TARGET model scores all ``k_spec + 1`` positions in ONE decode
 call — turning k+1 memory-bound single-token target steps into one step
 that streams the KV cache once.
 
-Greedy (argmax) speculative decoding is exact: the emitted sequence is a
-greedy trajectory of the TARGET model regardless of draft quality — the
-draft only changes how many tokens each target call yields (acceptance
-rate). This module implements the jit-able loop:
+Both modes are EXACT for any draft — the draft only changes how many
+tokens each target call yields (acceptance rate):
+
+* ``temperature == 0``: greedy speculation — the emitted sequence is the
+  target's argmax trajectory.
+* ``temperature > 0``: rejection-sampling speculation
+  (:func:`speculative_accept` — accept draft t with probability
+  ``min(1, p_t/p_d)``, resample the renormalized residual on rejection) —
+  the emitted sequence is distributed exactly as target sampling under
+  the same temperature/top_k/top_p controls.
+
+This module implements the jit-able loop:
 
 * the verification block teacher-forces the (k+1)-token tail through the
   target with a per-row validity mask over the cache (row t attends
@@ -123,19 +131,17 @@ def _verify_block(params, cache, pos, toks, cfg: ModelConfig):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "cfg_t", "cfg_d", "k_spec", "iters", "temperature", "top_k", "top_p",
-    ),
+    static_argnames=("cfg_t", "cfg_d", "k_spec", "iters", "sampled"),
 )
 def _spec_loop(
-    params_t, params_d, cache_t, cache_d, first, start, key,
+    params_t, params_d, cache_t, cache_d, first, start, key, controls,
     cfg_t: ModelConfig, cfg_d: ModelConfig, k_spec: int, iters: int,
-    temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+    sampled: bool = False,
 ):
     from .generate import decode_step
     from .sampling import filter_logits
 
-    sampled = temperature > 0.0
+    temperature, top_k, top_p = controls
     b = first.shape[0]
     buf = jnp.zeros((b, iters * (k_spec + 1)), jnp.int32)
 
@@ -288,18 +294,22 @@ def speculative_generate(
     _, cache_d = prefill(params_draft, prompt, cfg_draft, cache_d)
     from .sampling import sample_logits
 
+    sampled = float(temperature) > 0.0
     key, sub = jax.random.split(key)
     first = sample_logits(
-        logits_t, sub, temperature=temperature, top_k=top_k, top_p=top_p
+        logits_t, sub, temperature=temperature, top_k=top_k, top_p=top_p,
+        sampled=sampled,
     )
 
     # Worst case every iteration accepts 0 drafts -> 1 token; ``steps``
     # iterations always suffice.
+    controls = (
+        jnp.float32(temperature), jnp.int32(top_k), jnp.float32(top_p)
+    )
     buf, count, accepted, n_iter = _spec_loop(
         params_target, params_draft, cache_t, cache_d, first,
-        n, key, cfg_target, cfg_draft, k_spec, steps,
-        temperature=float(temperature), top_k=int(top_k),
-        top_p=float(top_p),
+        n, key, controls, cfg_target, cfg_draft, k_spec, steps,
+        sampled=sampled,
     )
     toks = jnp.concatenate([first[:, None], buf], axis=1)[:, :steps]
     if return_stats:

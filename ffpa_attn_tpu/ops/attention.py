@@ -104,9 +104,6 @@ def sink_grad(do, o, lse, sinks, head_axis: int = 1):
     return (-jnp.sum(p_sink * delta, axis=axes)).astype(sinks.dtype)
 
 
-# Backward-compat local alias (pre-dedup name used within this module).
-_apply_sinks = apply_sinks
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
@@ -126,7 +123,7 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
         alibi_slopes=alibi,
     )
     if sinks is not None:
-        o, _ = _apply_sinks(o, lse, sinks)
+        o, _ = apply_sinks(o, lse, sinks)
     return o.astype(jnp.float16) if was_f16 else o
 
 
@@ -286,8 +283,8 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
     if sinks is not None:
         # Residuals carry the SINK-INCLUSIVE (o, lse): every backward
         # scheme (recompute, dS-handoff, from-S) is already exact under
-        # them — see _apply_sinks.
-        o, lse = _apply_sinks(o, lse, sinks)
+        # them — see apply_sinks.
+        o, lse = apply_sinks(o, lse, sinks)
     out = o.astype(jnp.float16) if was_f16 else o
     return out, (q, k, v, bias, alibi, sinks, o, lse, seed, scores)
 

@@ -332,7 +332,7 @@ def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias, sinks):
     )
     if sinks is not None:
         # Sink-inclusive residuals: the dense backward is exact under them
-        # (ops/attention.py:_apply_sinks).
+        # (ops/attention.py:apply_sinks).
         o, lse = _decode_apply_sinks(o, lse, sinks)
     return o, (q, k, v, bias, sinks, o, lse)
 

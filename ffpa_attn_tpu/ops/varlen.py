@@ -714,7 +714,7 @@ def _varlen_core_fwd(
     )
     if sinks is not None:
         # Sink-inclusive residuals: the backward kernels are exact under
-        # them unchanged (ops/attention.py:_apply_sinks).
+        # them unchanged (ops/attention.py:apply_sinks).
         o, lse = _varlen_apply_sinks(o, lse, sinks)
     return (o, lse), (q_h, k_h, v_h, o, lse, meta, alibi, sinks)
 
