@@ -565,3 +565,37 @@ def test_varlen_still_rejects_unsupported():
         ffpa_attn_varlen_func(
             q, k, v, cu, cu, 468, 468, block_table=jnp.zeros((1,), jnp.int32)
         )
+
+
+def test_fp16_feature_gradient_contract():
+    """The reference's fp16 gradient contract (atol=rtol=1e-2,
+    tests/test_ffpa_bwd.py:43-46) holds with softcap + window + sinks
+    combined — the hi+lo dV split and the feature chain factors coexist."""
+    q, k, v, do = _mk(1, 2, 2, 384, 384, 320, seed=60, dtype=jnp.float16)
+    sinks = jnp.asarray([0.3, -0.1], jnp.float32)
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(
+            fn(q_, k_, v_).astype(jnp.float32) * do.astype(jnp.float32)
+        )
+
+    got = jax.grad(
+        loss(lambda a, b, c: ffpa_attn_func(
+            a, b, c, is_causal=True, softcap=25.0, window_size=(96, -1),
+            sinks=sinks,
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    ref = jax.grad(
+        loss(lambda a, b, c: reference_attention(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            c.astype(jnp.float32), is_causal=True, softcap=25.0,
+            window=(96, -1), sinks=sinks,
+        ).astype(jnp.float16)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            atol=1e-2, rtol=1e-2,
+        )
