@@ -145,42 +145,64 @@ def time_chained(step_fn, q, *rest, iters: int = 10, warmup: bool = True) -> flo
     585 GB/s at another). Timing lengths N and 3N and reporting
     ``(t_3N - t_N) / 2N`` cancels every per-invocation cost by
     construction. ``step_fn(q, *rest) -> array of q's shape`` (attention
-    output or dq), optionally ``(out, scalar_extra)`` to keep auxiliary
-    outputs alive against DCE.
+    output or dq), optionally ``(out, *aux)`` where every auxiliary array
+    is ACCUMULATED into a same-shape scan carry. Accumulation (not a
+    scalar reduction) forces full materialization each iteration: with a
+    plain ``sum(aux)`` XLA's algebraic simplifier rewrites
+    ``sum(A @ B)`` into reduced-operand dots, so a composite baseline's
+    dK/dV never touched HBM while an opaque kernel's always did — a
+    protocol asymmetry, since any real consumer (the optimizer) needs the
+    gradients materialized, and the reference's torch bench pays the same
+    ``.grad`` buffer writes on both sides.
     """
     eps = jnp.zeros((), jnp.float32)
+    aux_shapes = None
+    probe = jax.eval_shape(lambda *a: step_fn(*a), q, *rest)
+    if isinstance(probe, tuple):
+        aux_shapes = probe[1:]
 
     def make(length):
         @jax.jit
         def chained(q, eps, *rest):
             def body(carry, _):
-                out = step_fn(carry, *rest)
-                extra = jnp.zeros((), jnp.float32)
+                prim, accs = carry
+                out = step_fn(prim, *rest)
                 if isinstance(out, tuple):
-                    out, extra = out
+                    out, *aux = out
+                    accs = tuple(
+                        (a.astype(jnp.float32) + x.astype(jnp.float32)
+                         ).astype(a.dtype)
+                        for a, x in zip(accs, aux)
+                    )
                 # Traced-eps data dependence: not constant-foldable,
                 # numerically a no-op.
                 nxt = (
-                    carry.astype(jnp.float32)
+                    carry[0].astype(jnp.float32)
                     + out.astype(jnp.float32) * eps
-                    + extra * eps
-                ).astype(carry.dtype)
-                return nxt, ()
+                ).astype(prim.dtype)
+                return (nxt, accs), ()
 
-            final, _ = jax.lax.scan(body, q, None, length=length)
-            return final
+            accs0 = ()
+            if aux_shapes is not None:
+                accs0 = tuple(
+                    jnp.zeros(s.shape, s.dtype) for s in aux_shapes
+                )
+            (final, accs), _ = jax.lax.scan(
+                body, (q, accs0), None, length=length
+            )
+            return (final, *accs)
 
         return chained
 
     def make_runner(length):
         fn = make(length)
         out = fn(q, eps, *rest)  # compile + warmup
-        _sync(out)
+        _sync(out[0] if isinstance(out, tuple) else out)
 
         def once() -> float:
             t0 = time.perf_counter()
             o = fn(q, eps, *rest)
-            _sync(o)
+            _sync(o[0] if isinstance(o, tuple) else o)
             return (time.perf_counter() - t0) * 1e3
 
         return once
@@ -337,8 +359,14 @@ def _sdpa_variants(case: BenchCase) -> list[str]:
 
 
 def _grad_step(fwd_fn, has_mask: bool):
-    """Backward step for chained timing: returns (dq, sum(dk)+sum(dv)) so
-    XLA cannot DCE any gradient kernel.
+    """Backward step for chained timing: returns (dq, dk, dv) so every
+    gradient is MATERIALIZED by the timing harness (time_chained
+    accumulates dk/dv into full-size carries). A scalar ``sum(dk)`` keep-
+    alive is not enough: XLA rewrites ``sum(A @ B)`` algebraically and a
+    composite baseline then never writes its dK/dV to HBM — free for the
+    baseline, impossible for an opaque Pallas kernel, and unrepresentative
+    of training, where the optimizer consumes full gradient buffers (the
+    reference's torch bench equally materializes ``.grad`` on both sides).
 
     ``mask``/``do`` arrive as traced arguments, never closure constants — a
     captured 8192x8192 mask or [B,H,N,D] dO would be baked into the
@@ -356,10 +384,7 @@ def _grad_step(fwd_fn, has_mask: bool):
                 ).sum()
 
             dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-            extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
-                dv.astype(jnp.float32)
-            )
-            return dq, extra
+            return dq, dk, dv
 
     else:
 
@@ -371,10 +396,7 @@ def _grad_step(fwd_fn, has_mask: bool):
                 ).sum()
 
             dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-            extra = jnp.sum(dk.astype(jnp.float32)) + jnp.sum(
-                dv.astype(jnp.float32)
-            )
-            return dq, extra
+            return dq, dk, dv
 
     return step
 
@@ -690,13 +712,11 @@ def main(argv=None) -> int:
 
     plot_path = args.plot
     if plot_path is None and args.output:
-        from ..autotune.store import current_device_kind, sanitize_device_kind
-
-        device = sanitize_device_kind(current_device_kind())
+        # Derive from the OUTPUT name (not a fixed device-wide name: a
+        # variant table like the f16 lane must not clobber the headline
+        # bf16 speedup plot).
         plot_path = str(
-            __import__("pathlib").Path(args.output).with_name(
-                f"ffpa_{device}_speedup.png"
-            )
+            __import__("pathlib").Path(args.output).with_suffix(".png")
         )
     if plot_path and rows:
         shape = rows[0]["shape"]
