@@ -647,8 +647,8 @@ def main(argv=None) -> int:
     parser.add_argument("--output", default=None, help="markdown output path")
     parser.add_argument(
         "--plot", default=None,
-        help="png output path (default: ffpa_{device}_speedup.png next to "
-        "--output, or skip when neither is given)",
+        help="png output path (default: --output with a .png suffix, "
+        "or skip when --output is not given)",
     )
     parser.add_argument(
         "--e2e", action="store_true",

@@ -2,6 +2,11 @@
 decrease (the analog of the reference's E2E training validation,
 reference README.md:122)."""
 
+import pytest
+
+# Heavy interpret-mode compiles: slow tier (fast tier: pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

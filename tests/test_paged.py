@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy interpret-mode sweeps: slow tier (fast tier: pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 from ffpa_attn_tpu import PagedKVCache, append_token, paged_decode_attention
 from ffpa_attn_tpu.ops.reference import expand_kv_heads, reference_attention
 

@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+# Heavy interpret-mode sweeps: slow tier (fast tier: pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def test_ring_and_tp_on_cpu_mesh():
     script = os.path.join(os.path.dirname(__file__), "_ring_check.py")
