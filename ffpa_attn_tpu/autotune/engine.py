@@ -105,6 +105,11 @@ def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
     t_start = time.time()
     for i, task in enumerate(tasks):
         budget = 900 if max(task.nq, task.nkv) < 16384 else 2400
+        # max-mode sweeps walk up to ~4x the fast candidate count; campaign
+        # scripts can also override outright (FFPA_TPU_AUTOTUNE_TASK_BUDGET_S).
+        if args.mode == "max":
+            budget *= 2
+        budget = int(os.environ.get("FFPA_TPU_AUTOTUNE_TASK_BUDGET_S", budget))
         queue = ctx.Queue()
         proc = ctx.Process(target=_isolated_entry, args=(task, args.mode, queue))
         t0 = time.time()

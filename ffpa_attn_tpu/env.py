@@ -183,6 +183,24 @@ class ENV:
         return _env_int("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", 2)
 
     @staticmethod
+    def device_log_level() -> int:
+        """Device-side kernel trace level (the FA_LOG_LEVEL analog,
+        reference cute/utils/fa_logging.py:10-25):
+
+        0 off | 1 host-only (logger.py) | 2 curated kernel traces |
+        3 all kernel traces (noisy, perf hit).
+
+        Levels >= 2 insert ``pl.debug_print`` callsites. The gate is a
+        TRACE-time Python ``if`` — below-threshold callsites never enter
+        the jaxpr, so the compiled kernel is bit-identical to logging-off
+        (the compile-time elimination the reference gets from
+        ``cutlass.const_expr``). Changing the level after a kernel has
+        been jit-cached requires a fresh trace, same as the reference's
+        compile-key behavior.
+        """
+        return _env_int("FFPA_TPU_DEVICE_LOG_LEVEL", 0)
+
+    @staticmethod
     def snapshot() -> EnvSnapshot:
         return EnvSnapshot(
             allow_small_d=ENV.allow_small_d(),

@@ -88,6 +88,27 @@ def pick_backward_config(
 ) -> BlockConfig:
     from ..autotune.store import lookup_tuned_config
 
+    from dataclasses import replace
+
+    from ..env import ENV
+
+    def propose_fp8(cfg: BlockConfig) -> BlockConfig:
+        # FFPA_TPU_ALLOW_FP8_DS is an opt-in PROPOSAL here, not just the
+        # safety gate in flash_bwd (which only narrows 8->16): without it,
+        # a user setting the flag with no fp8-tuned entry got bf16 slabs
+        # regardless (round-4 probe: the flag measured as a no-op). Block
+        # shapes are unchanged — fp8 only shrinks the dS output block, so
+        # a tuned entry's VMEM feasibility is preserved; flash_bwd still
+        # forces 16 for f16 cotangents / bias.
+        if (
+            cfg.ds_store_bits == 16
+            and ENV.allow_fp8_ds()
+            and jnp.dtype(dtype) == jnp.bfloat16
+            and not has_bias
+        ):
+            return replace(cfg, ds_store_bits=8)
+        return cfg
+
     cfg = lookup_tuned_config(
         direction="bwd",
         d=d,
@@ -102,9 +123,8 @@ def pick_backward_config(
         group=group,
     )
     if cfg is not None:
-        return cfg
+        return propose_fp8(cfg)
     itemsize = jnp.dtype(dtype).itemsize
-    from ..env import ENV
     from .config import BlockConfig, bwd_dkdv_vmem_bytes, bwd_dq_vmem_bytes
 
     limit = ENV.vmem_limit_bytes()
@@ -136,8 +156,6 @@ def pick_backward_config(
     # _fit_dkdv_for_ds re-checks at launch time anyway.
     dkdv = first_fit(dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True)
     dq = first_fit(dq_prefs, bwd_dq_vmem_bytes)
-    from dataclasses import replace
-
-    return replace(
-        dkdv, block_q_dq=dq.block_q_dq, block_kv_dq=dq.block_kv_dq
+    return propose_fp8(
+        replace(dkdv, block_q_dq=dq.block_q_dq, block_kv_dq=dq.block_kv_dq)
     )

@@ -110,6 +110,14 @@ def _fwd_kernel(
     block_q = q_ref.shape[2]
     block_kv = k_ref.shape[2]
 
+    # Device-log lane (env.py device_log_level): a trace-time gate, so at
+    # level < 2 no callsite enters the jaxpr and the compiled kernel is
+    # identical to logging-off (the const_expr elimination of the
+    # reference's fa_logging.py:10-25).
+    from ..env import ENV
+
+    _dbg = ENV.device_log_level()
+
     @pl.when(j == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
@@ -205,6 +213,16 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
 
+        if _dbg >= 3:  # all kernel traces: one line per visited KV tile
+            # Mosaic debug_print placeholders are int32-only; stats ride
+            # as milli-units.
+            pl.debug_print(
+                "ffpa-fwd tile b={} h={} qi={} kj={} m0_milli={} l0_milli={}",
+                b_idx, h_idx, i, j,
+                (m_next[0, 0] * 1000.0).astype(jnp.int32),
+                (l_next[0, 0] * 1000.0).astype(jnp.int32),
+            )
+
     # Causal: S blocks above the diagonal are never written — the S out
     # index map clamps to the diagonal, so Mosaic keeps one VMEM buffer per
     # visited slot and masked tiles cost no HBM writes. Consumers
@@ -217,6 +235,13 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0, 0] = m_scr[:, 0] + jnp.log(jnp.maximum(l, 1e-38))[:, 0]
+        if _dbg >= 2:  # curated: one line per grid cell at its epilogue
+            pl.debug_print(
+                "ffpa-fwd cell b={} h={} qi={} m0_milli={} l0_milli={}",
+                b_idx, h_idx, i,
+                (m_scr[0, 0] * 1000.0).astype(jnp.int32),
+                (l_scr[0, 0] * 1000.0).astype(jnp.int32),
+            )
 
 
 def flash_attention_forward(

@@ -14,8 +14,18 @@ import os
 
 if os.environ.get("FFPA_TPU_RUN_DEVICE_TESTS") != "1":
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE, don't setdefault: agent shells export JAX_PLATFORMS=axon, and
+    # the axon sitecustomize additionally calls
+    # jax.config.update("jax_platforms", "axon,cpu") at plugin
+    # registration — with either in place the "hermetic" suite silently
+    # ran REAL kernels on the attached chip (measured round 3 as suite
+    # flakiness and 84s "interpret" compiles; the config.update below
+    # wins because it runs after the plugin hook).
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+if os.environ.get("FFPA_TPU_RUN_DEVICE_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
