@@ -11,9 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-# Heavy interpret-mode sweeps: slow tier (fast tier: pytest -m 'not slow').
-pytestmark = pytest.mark.slow
-
 from ffpa_attn_tpu import ffpa_attn_func
 from ffpa_attn_tpu.ops.reference import reference_attention
 

@@ -1,11 +1,6 @@
 """Monkey-patch integration (reference: tests/test_monkey_patch.py):
 large-D dispatches through FFPA; fallback shapes still work (no recursion)."""
 
-import pytest
-
-# Heavy interpret-mode compiles: slow tier (fast tier: pytest -m 'not slow').
-pytestmark = pytest.mark.slow
-
 import jax
 import jax.numpy as jnp
 import numpy as np
