@@ -338,29 +338,43 @@ def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias, sinks):
 
 
 def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
-    from .flash_bwd import flash_attention_backward
+    # fp32 composite vjp, NOT the dense Pallas backward: at Nq <= 8 the
+    # scores tensor is O(8 * Nkv) — trivially fused by XLA — while the
+    # tiled backward pads the Q axis to a full 128-row block and streams
+    # whole K/V tiles for it (measured round 4: 4.33 ms vs the
+    # composite's 1.63 ms at Nkv=8192 D=512, the 0.38x decode-bwd bench
+    # row). Numerically this IS the oracle's own gradient. jax.vjp
+    # differentiates through expand_kv_heads, so dk/dv come back
+    # group-reduced to [B, Hkv, Nkv, D].
+    from .reference import expand_kv_heads, reference_attention
 
     q, k, v, bias, sinks, o, lse = residuals
-    dq, dk, dv, dbias = flash_attention_backward(
-        q,
-        k,
-        v,
-        bias,
-        o,
-        lse,
-        do,
-        scale=scale,
-        is_causal=is_causal,
-        dropout_p=0.0,
-        softcap=softcap,
-        window=window,
-    )
-    dsinks = None
-    if sinks is not None:
-        from .attention import sink_grad
+    hq = q.shape[1]
 
-        dsinks = sink_grad(do, o, lse, sinks, head_axis=1)
-    return dq, dk, dv, dbias, dsinks
+    def _ref(q_, k_, v_, bias_, sinks_):
+        return reference_attention(
+            q_,
+            expand_kv_heads(k_, hq),
+            expand_kv_heads(v_, hq),
+            bias_,
+            is_causal=is_causal,
+            scale=scale,
+            softcap=softcap,
+            window=window,
+            sinks=sinks_,
+        )
+
+    if sinks is None:
+        _, vjp = jax.vjp(lambda a, b, c, d: _ref(a, b, c, d, None), q, k, v, bias)
+        dq, dk, dv, dbias = vjp(do.astype(o.dtype))
+        dsinks = None
+    else:
+        _, vjp = jax.vjp(_ref, q, k, v, bias, sinks)
+        dq, dk, dv, dbias, dsinks = vjp(do.astype(o.dtype))
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        dbias, dsinks,
+    )
 
 
 _decode_core.defvjp(_decode_core_fwd, _decode_core_bwd)

@@ -81,6 +81,30 @@ def main():
     out = ffpa_attn_func(q, k, v, enable_gqa=True)
     check("decode gqa vs oracle", close(out, ref, 5e-2))
 
+    # 3b. decode backward (round-4 composite vjp) vs oracle grads
+    dod = jax.random.normal(ks[3], q.shape, q.dtype)
+
+    def dgrads(fn):
+        def loss(q_, k_, v_):
+            return (
+                fn(q_, k_, v_).astype(jnp.float32) * dod.astype(jnp.float32)
+            ).sum()
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    got = dgrads(lambda a, b, c: ffpa_attn_func(a, b, c, enable_gqa=True))
+    want = dgrads(
+        lambda a, b, c: reference_attention(
+            a, expand_kv_heads(b, 8), expand_kv_heads(c, 8), None
+        )
+    )
+    # jax.grad differentiates through expand_kv_heads, so want's dk/dv
+    # come back already group-reduced to the [B, Hkv, N, D] layout.
+    check(
+        "decode gqa grads vs oracle",
+        all(close(g, w, 5e-2) for g, w in zip(got, want)),
+    )
+
     t, h, d = 1024, 4, 512
     q3 = jax.random.normal(ks[0], (t, h, d), jnp.bfloat16)
     k3 = jax.random.normal(ks[1], (t, h, d), jnp.bfloat16)
