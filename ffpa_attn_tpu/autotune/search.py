@@ -33,7 +33,12 @@ from ..ops.config import (
 logger = init_logger(__name__)
 
 _FAST_BLOCKS = (256, 512, 1024)
-_MAX_BLOCKS = (128, 256, 512, 1024, 2048)
+# Max mode includes non-power-of-two LANE multiples: at VMEM-tight D the
+# pow2 ladder jumps straight from a fitting block to an OOM one (e.g.
+# D=1024 fwd fits block_q 640 but not 1024), leaving K/V re-read factor
+# on the table. The VMEM cost model prunes, so extra candidates only cost
+# sweep time.
+_MAX_BLOCKS = (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048)
 
 
 def _order_and_cap(out: list, prefs: tuple) -> list:
@@ -43,9 +48,13 @@ def _order_and_cap(out: list, prefs: tuple) -> list:
     def rank(cfg_pair):
         cfg, pair = cfg_pair
         try:
-            return prefs.index(pair)
+            return (prefs.index(pair), 0, 0)
         except ValueError:
-            return len(prefs) + 1
+            # Non-pref candidates: larger block_q first (it divides the
+            # K/V re-read factor — the measured dominant axis), then
+            # block_kv nearest the 512 sweet spot, so a config cap keeps
+            # the plausible winners rather than the smallest blocks.
+            return (len(prefs) + 1, -pair[0], abs(pair[1] - 512))
     out = [c for c, _ in sorted(out, key=rank)]
     max_configs = ENV.autotune_max_configs()
     if max_configs > 0:

@@ -41,7 +41,6 @@ step 06 bench-16k 4500 python -m ffpa_attn_tpu.bench --N 16384 \
   --cases self-attn causal gqa --directions fwd bwd \
   --output docs/bench_v5e_n16384.md --plot docs/ffpa_TPU_v5_lite_n16384.png
 step 08 bench-e2e 3000 python -m ffpa_attn_tpu.bench --e2e
-step 05 probe-16k-fp8 3600 python tools/r4_probe_16k.py
 step 09 tune-n2048 6000 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions fwd bwd --headdims 320 512 640 768 1024 --seqlens 2048 --H 32
 step 10 tune-decode-max 5400 env FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=600 \
@@ -50,8 +49,15 @@ step 10 tune-decode-max 5400 env FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=600 \
   --seqlens 2048 4096 8192 16384 --H 32
 step 11 tune-varlen 4500 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --directions varlen --headdims 320 512 640 768 1024 --seqlens 4096 8192 --H 8
-step 12 bench-decode-tuned 2400 python -m ffpa_attn_tpu.bench \
-  --cases decode decode-gqa --directions fwd \
+# After the decode max-mode sweep so the rows carry the tuned entries AND
+# the round-4 composite-vjp decode backward (the d512/f16 tables' decode
+# bwd rows predate it).
+step 12 bench-decode-tuned 3000 python -m ffpa_attn_tpu.bench \
+  --dtypes bfloat16 float16 --cases decode decode-gqa --directions fwd bwd \
   --output docs/bench_v5e_decode.md
+# Lowest priority: the lever matrix already ran as 01.probe_16k.log (self +
+# causal complete; conclusions in design.md). This re-run only adds the gqa
+# rows the first pass lost to the enable_gqa probe bug.
+step 05 probe-16k-fp8 3600 env FFPA_TPU_PROBE_CASES=gqa python tools/r4_probe_16k.py
 
 echo "== r4 campaign complete $(date +%H:%M:%S)"

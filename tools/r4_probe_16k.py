@@ -64,6 +64,13 @@ def main():
         "gqa": ("gqa", 32, 8, False),
         "causal": ("causal", 32, 32, True),
     }
+    # Optional case filter (e.g. FFPA_TPU_PROBE_CASES=gqa re-runs only the
+    # rows the first pass lost to the pre-fix enable_gqa probe bug).
+    only = os.environ.get("FFPA_TPU_PROBE_CASES")
+    if only:
+        keep = set(only.split(","))
+        case_defs = {k: v for k, v in case_defs.items() if k in keep}
+
     base_ms = {}
     for label, (cname, hq, hkv, causal) in case_defs.items():
         case = make_case(cname, 1, 32, 16384, 512)
@@ -102,6 +109,8 @@ def main():
         ("causal", 1, 0.0, 10.0, 5.0),
     ]
     for label, fp8, margin_gib, limit_gib, ds_gib in sweep:
+        if label not in case_defs:
+            continue
         _, hq, hkv, causal = case_defs[label]
         q, k, v, do = _case_inputs(hq, hkv, 16384)
         os.environ["FFPA_TPU_ALLOW_FP8_DS"] = str(fp8)
