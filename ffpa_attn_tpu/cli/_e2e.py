@@ -260,10 +260,45 @@ def bench_speculative(
     }
 
 
+def bench_scaling_projection() -> dict:
+    """Two-host ring-scaling projection anchored to a rate MEASURED on
+    this chip right now (VERDICT r3 item 9): time the flagship fwd case,
+    feed its achieved FLOPs rate into the analytic model's compute leg.
+    The ICI bandwidth stays the labeled spec constant (unmeasurable with
+    one attached chip) — the report is a projection, not a measurement.
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.analysis import ICI_BW_BYTES, two_host_report
+    from ._bench import make_case, run_case
+
+    row = run_case(
+        make_case("self-attn", 1, 32, 8192, 512), jnp.bfloat16, "fwd",
+        iters=5, verify=False,
+    )
+    measured = row["ffpa_tflops"] * 1e12
+    report = two_host_report(mxu_flops=measured)
+    return {
+        "metric": "ring_scaling_projection",
+        "measured_mxu_tflops": round(measured / 1e12, 1),
+        "ici_bw_gbps_SPEC": ICI_BW_BYTES / 1e9,
+        "projections": [
+            {
+                "chips": p.chips,
+                "step_ms": round(p.t_step_ms, 3),
+                "hop_ms": round(p.t_hop_ms, 3),
+                "efficiency_pct": round(p.efficiency * 100, 1),
+            }
+            for p in report
+        ],
+    }
+
+
 def main(argv=None) -> int:
     for fn in (
         bench_train, bench_decode, bench_serve, bench_serve_paged,
         bench_serve_paged_int8, bench_serve_paged_window, bench_speculative,
+        bench_scaling_projection,
     ):
         try:
             print(json.dumps(fn()))

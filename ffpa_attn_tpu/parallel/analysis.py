@@ -68,6 +68,7 @@ def ring_scaling_projection(
     chips: int,
     itemsize: int = 2,
     mxu_efficiency: float = 0.85,
+    mxu_flops: Optional[float] = None,
     hops_over_dcn: int = 0,
     causal: bool = False,
 ) -> RingProjection:
@@ -78,6 +79,11 @@ def ring_scaling_projection(
     multi-host slice; the slowest hop throttles the rotation).
     ``causal`` models the zigzag schedule (balanced chunk pairs: half the
     pair FLOPs per step, same rotated bytes).
+    ``mxu_flops``: the MEASURED single-chip attention FLOPs rate (e.g.
+    this chip's benched 165e12 at the flagship shape); overrides the
+    ``peak * mxu_efficiency`` spec estimate so the projection's compute
+    leg is anchored to reality. The ICI constant cannot be measured with
+    one attached chip and stays a labeled spec number.
     """
     dv = dv if dv is not None else d
     hkv = hkv if hkv is not None else h
@@ -86,7 +92,7 @@ def ring_scaling_projection(
     flops_per_step = 2 * b * h * shard * shard * (d + dv)
     if causal:
         flops_per_step //= 2
-    mxu = PEAK_BF16_FLOPS * mxu_efficiency
+    mxu = mxu_flops if mxu_flops else PEAK_BF16_FLOPS * mxu_efficiency
     t_step = flops_per_step / mxu
 
     kv_bytes = 2 * b * hkv * shard * d * itemsize  # K and V blocks
@@ -110,16 +116,21 @@ def ring_scaling_projection(
 
 
 def two_host_report(
-    b: int = 1, h: int = 32, n: int = 16384, d: int = 512
+    b: int = 1, h: int = 32, n: int = 16384, d: int = 512,
+    mxu_flops: Optional[float] = None,
 ) -> list[RingProjection]:
     """The BASELINE.md >= 85% @ 2 hosts scenario: 8 chips of a v5e-8 slice
-    (one ICI domain), MHA and 4:1 GQA variants at S in {2, 4, 8}."""
+    (one ICI domain), MHA and 4:1 GQA variants at S in {2, 4, 8}.
+    ``mxu_flops``: measured single-chip rate (see
+    ``ring_scaling_projection``); the bench ``--e2e`` path passes the
+    rate it just measured on the attached chip."""
     out = []
     for hkv in (h, h // 4):
         for s in (2, 4, 8):
             out.append(
                 ring_scaling_projection(
-                    b=b, h=h, hkv=hkv, n=n, d=d, chips=s
+                    b=b, h=h, hkv=hkv, n=n, d=d, chips=s,
+                    mxu_flops=mxu_flops,
                 )
             )
     return out
