@@ -556,6 +556,36 @@ def run_case(
     }
 
 
+def md_preamble(rows, verified: bool = True) -> str:
+    """Provenance header written above every generated table: device, date,
+    and the timing protocol. Round-3 advisor finding: tables must state the
+    protocol they were measured under, or stale old-protocol tables become
+    indistinguishable from fresh ones."""
+    import time
+
+    try:
+        import jax
+
+        device = jax.devices()[0].device_kind
+    except Exception:
+        device = "unknown-device"
+    has_bwd = any(r["direction"] == "bwd" for r in rows)
+    proto = (
+        " Backward rows use the materializing-grad protocol "
+        '(docs/design.md "Grad materialization protocol": each gradient '
+        "accumulated into a same-shape carry so BOTH contenders pay the "
+        "dK/dV writes)." if has_bwd else ""
+    )
+    gate = (
+        " pre-timing correctness gate on."
+        if verified else " correctness gate SKIPPED (--no-verify)."
+    )
+    return (
+        f"Measured {time.strftime('%Y-%m-%d')} on {device}; single-call "
+        f"bench (FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS=1),{gate}{proto}\n"
+    )
+
+
 def to_markdown(rows) -> str:
     lines = [
         "| case | dir | dtype | shape | FFPA ms | SDPA ms | FFPA | SDPA | speedup |",
@@ -706,7 +736,10 @@ def main(argv=None) -> int:
     md = to_markdown(rows)
     if args.output:
         with open(args.output, "w") as f:
-            f.write(md + "\n")
+            f.write(
+                md_preamble(rows, verified=not args.no_verify)
+                + "\n" + md + "\n"
+            )
     else:
         print("\n" + md)
 
