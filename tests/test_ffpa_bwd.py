@@ -85,9 +85,11 @@ def test_bwd_vs_oracle(shape, causal):
 
 @pytest.mark.parametrize("group", [1, 4])
 def test_bwd_decode_nq1(group):
-    """Nq=1 grads: the decode fast path's custom_vjp delegates to the dense
-    backward kernels (ops/decode.py:_decode_core_bwd); the bench now times
-    this (reference publishes decode bwd speedups, bench/README.md:53)."""
+    """Nq=1 grads: the decode fast path's custom_vjp routes to the fused
+    fp32 composite (ops/decode.py:_decode_core_bwd) — at Nq<=8 the tiled
+    backward pads Q to a full block and loses 2.6x to the composite on
+    chip — so gradients must be EXACTLY the oracle's own vjp (group-
+    reduced dk/dv for GQA, primal dtypes preserved)."""
     dtype = jnp.bfloat16
     b, hq, nkv, d = 1, 4, 512, 512
     hkv = hq // group
@@ -105,9 +107,52 @@ def test_bwd_decode_nq1(group):
 
     dq, dk, dv = _grads(ffpa, (q, k, v), do)
     dq_r, dk_r, dv_r = _grads(oracle, (q, k, v), do)
+    assert dq.dtype == q.dtype and dk.dtype == k.dtype and dv.dtype == v.dtype
+    assert dk.shape == k.shape and dv.shape == v.shape
     _assert_close(dq, dq_r, dtype, "dq")
     _assert_close(dk, dk_r, dtype, "dk")
     _assert_close(dv, dv_r, dtype, "dv")
+
+
+def test_bwd_decode_nq1_sinks_window():
+    """Decode grads through the composite vjp with the extension kwargs
+    live: learnable sinks must receive their (closed-form) gradient and a
+    sliding window must clip dk/dv to the in-window cache suffix."""
+    dtype = jnp.bfloat16
+    b, hq, nkv, d = 1, 4, 512, 320
+    window = 256
+    q, k, v, do = _make(b, hq, hq, 1, nkv, d, dtype)
+    sinks = jnp.zeros((hq,), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    def ffpa(q_, k_, v_, s_):
+        return ffpa_attn_func(
+            q_, k_, v_, window_size=(window, -1), sinks=s_
+        )
+
+    def oracle(q_, k_, v_, s_):
+        return reference_attention(
+            q_, k_, v_, None, scale=scale, window=(window, -1), sinks=s_
+        )
+
+    def grads(fn):
+        def loss(q_, k_, v_, s_):
+            return (
+                fn(q_, k_, v_, s_).astype(jnp.float32)
+                * do.astype(jnp.float32)
+            ).sum()
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, sinks)
+
+    got = grads(ffpa)
+    want = grads(oracle)
+    for g, w, name in zip(got, want, ("dq", "dk", "dv", "dsinks")):
+        _assert_close(g, w, dtype, name)
+    # Out-of-window cache prefix gets zero gradient: row 0 of the decode
+    # query attends keys [nkv - window - 1 + 1, nkv) under the
+    # tail-aligned band.
+    dk = got[1]
+    assert jnp.all(dk[:, :, : nkv - window - 1] == 0)
 
 
 @pytest.mark.parametrize("mask_shape", ["full", "key_only"])
