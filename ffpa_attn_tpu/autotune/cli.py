@@ -291,8 +291,11 @@ def main(argv=None) -> int:
 
     from .store import write_config_file
 
+    # Freshly measured entries always win their key collision (see
+    # engine.py run_isolated_autotune) — --overwrite is NOT required for a
+    # re-sweep to land; it remains accepted for reference-CLI parity.
     path = write_config_file(
-        entries, directory=args.output_dir, overwrite=args.overwrite
+        entries, directory=args.output_dir, overwrite=True
     )
     logger.info("wrote %s", path)
     return 0

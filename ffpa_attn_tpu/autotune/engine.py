@@ -109,7 +109,13 @@ def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
         # scripts can also override outright (FFPA_TPU_AUTOTUNE_TASK_BUDGET_S).
         if args.mode == "max":
             budget *= 2
-        budget = int(os.environ.get("FFPA_TPU_AUTOTUNE_TASK_BUDGET_S", budget))
+        try:
+            budget = int(os.environ.get("FFPA_TPU_AUTOTUNE_TASK_BUDGET_S") or budget)
+        except ValueError:
+            logger.warning(
+                "ignoring non-integer FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=%r",
+                os.environ["FFPA_TPU_AUTOTUNE_TASK_BUDGET_S"],
+            )
         queue = ctx.Queue()
         proc = ctx.Process(target=_isolated_entry, args=(task, args.mode, queue))
         t0 = time.time()
@@ -136,8 +142,14 @@ def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
             continue
         if result is not None:
             entries.append(result)
+            # ALWAYS overwrite=True here: this entry was just MEASURED on
+            # this chip; losing the key-collision merge to a stale entry
+            # silently discards the whole sweep (round-4 bug: two max-mode
+            # sweeps burned ~80 min of chip time and left the store
+            # byte-identical). --overwrite retains its reference-CLI
+            # meaning on the final bulk write (cli.py).
             write_config_file(
-                [result], directory=args.output_dir, overwrite=args.overwrite
+                [result], directory=args.output_dir, overwrite=True
             )
             logger.info(
                 "[AUTOTUNED][%d/%d] %s d=%d n=%d causal=%s -> %s t=%.1fs "

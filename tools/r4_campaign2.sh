@@ -23,6 +23,7 @@ step() {
   return 0
 }
 
+step 19 verify-r4 1800 python tools/verify_r4.py
 step 20 device-paged-int8 1800 env FFPA_TPU_RUN_DEVICE_TESTS=1 \
   python -m pytest tests/test_on_device.py -k "paged" -q
 step 21 probe-serving 3600 python tools/probe_serving.py
