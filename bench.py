@@ -70,9 +70,11 @@ def main() -> int:
     # round-2/3/4 backward work lives — folded into the SAME line so the
     # driver's one-JSON-line contract holds.
     try:
+        # verify=True: the published number must be gated on numerically
+        # correct gradients, same as the fwd headline.
         brow = run_case(
             make_case("causal", 1, 32, 8192, 512),
-            jnp.bfloat16, "bwd", warmup=2, iters=10, verify=False,
+            jnp.bfloat16, "bwd", warmup=2, iters=10,
         )
         out["bwd_causal_tflops"] = round(brow["ffpa_tflops"], 2)
         out["bwd_causal_vs_baseline"] = round(brow["speedup"], 3)

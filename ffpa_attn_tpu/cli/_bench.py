@@ -580,9 +580,12 @@ def md_preamble(rows, verified: bool = True) -> str:
         " pre-timing correctness gate on."
         if verified else " correctness gate SKIPPED (--no-verify)."
     )
+    import os
+
+    layers = os.environ.get("FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS", "1")
     return (
         f"Measured {time.strftime('%Y-%m-%d')} on {device}; single-call "
-        f"bench (FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS=1),{gate}{proto}\n"
+        f"bench (FFPA_TPU_SCORES_AUTO_ASSUMED_LAYERS={layers}),{gate}{proto}\n"
     )
 
 

@@ -281,7 +281,7 @@ def bench_scaling_projection() -> dict:
     return {
         "metric": "ring_scaling_projection",
         "measured_mxu_tflops": round(measured / 1e12, 1),
-        "ici_bw_gbps_SPEC": ICI_BW_BYTES / 1e9,
+        "ici_bw_gbytes_per_s_SPEC": ICI_BW_BYTES / 1e9,
         "projections": [
             {
                 "chips": p.chips,

@@ -100,11 +100,18 @@ def pick_backward_config(
         # shapes are unchanged — fp8 only shrinks the dS output block, so
         # a tuned entry's VMEM feasibility is preserved; flash_bwd still
         # forces 16 for f16 cotangents / bias.
+        # Mirror the autotune policy (search.py bwd_candidates): fp8 only
+        # where the slab stream is big enough to matter (>= 4096^2 —
+        # below that the handoff slab fits unstriped and fp8 buys no
+        # bandwidth, only the ~3% dq quantization noise). Keeping the two
+        # policies in lockstep means a tuned entry and a dispatch-proposed
+        # one behave identically under the same flag.
         if (
             cfg.ds_store_bits == 16
             and ENV.allow_fp8_ds()
             and jnp.dtype(dtype) == jnp.bfloat16
             and not has_bias
+            and nq * nkv >= 4096 * 4096
         ):
             return replace(cfg, ds_store_bits=8)
         return cfg

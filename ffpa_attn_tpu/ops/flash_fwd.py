@@ -236,11 +236,15 @@ def _fwd_kernel(
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0, 0] = m_scr[:, 0] + jnp.log(jnp.maximum(l, 1e-38))[:, 0]
         if _dbg >= 2:  # curated: one line per grid cell at its epilogue
+            # A fully-masked first row leaves m_scr at -inf; float->int of
+            # +-inf is undefined — clamp to a recognizable sentinel so the
+            # cells one is usually debugging print -2^30, not garbage.
+            sent = jnp.float32(-(2 ** 30))
             pl.debug_print(
                 "ffpa-fwd cell b={} h={} qi={} m0_milli={} l0_milli={}",
                 b_idx, h_idx, i,
-                (m_scr[0, 0] * 1000.0).astype(jnp.int32),
-                (l_scr[0, 0] * 1000.0).astype(jnp.int32),
+                jnp.clip(m_scr[0, 0] * 1000.0, sent, -sent).astype(jnp.int32),
+                jnp.clip(l_scr[0, 0] * 1000.0, sent, -sent).astype(jnp.int32),
             )
 
 
