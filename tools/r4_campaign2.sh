@@ -39,5 +39,9 @@ step 24 tune-n16384 6000 python -m ffpa_attn_tpu.autotune --mode fast --isolate-
   --directions fwd bwd --headdims 512 1024 --seqlens 16384 --H 32
 step 25 tune-f16 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --dtypes float16 --directions fwd bwd --headdims 320 512 1024 --seqlens 8192 --H 32
+# Re-bench the D sweep with the RECOVERED max-mode entries (the published
+# table ran on heuristics after the store merge dropped the sweep).
+step 26 bench-multiD 5400 python -m ffpa_attn_tpu.bench --cases self-attn causal \
+  --D 320 640 768 1024 --directions fwd bwd --output docs/bench_v5e_multiD.md
 
 echo "== r4 phase-2 complete $(date +%H:%M:%S)"
