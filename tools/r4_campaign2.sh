@@ -27,6 +27,10 @@ step 19 verify-r4 1800 python tools/verify_r4.py
 step 20 device-paged-int8 1800 env FFPA_TPU_RUN_DEVICE_TESTS=1 \
   python -m pytest tests/test_on_device.py -k "paged" -q
 step 21 probe-serving 3600 python tools/probe_serving.py
+# Re-bench the D sweep with the RECOVERED max-mode entries (the published
+# table ran on heuristics after the store merge dropped the sweep).
+step 26 bench-multiD 5400 python -m ffpa_attn_tpu.bench --cases self-attn causal \
+  --D 320 640 768 1024 --directions fwd bwd --output docs/bench_v5e_multiD.md
 
 # Corpus breadth (VERDICT r3 item 5: 84 entries vs the reference's
 # ~3,100/device): fast-mode sweeps over the remaining task grid. Each
@@ -39,9 +43,5 @@ step 24 tune-n16384 6000 python -m ffpa_attn_tpu.autotune --mode fast --isolate-
   --directions fwd bwd --headdims 512 1024 --seqlens 16384 --H 32
 step 25 tune-f16 5400 python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks \
   --dtypes float16 --directions fwd bwd --headdims 320 512 1024 --seqlens 8192 --H 32
-# Re-bench the D sweep with the RECOVERED max-mode entries (the published
-# table ran on heuristics after the store merge dropped the sweep).
-step 26 bench-multiD 5400 python -m ffpa_attn_tpu.bench --cases self-attn causal \
-  --D 320 640 768 1024 --directions fwd bwd --output docs/bench_v5e_multiD.md
 
 echo "== r4 phase-2 complete $(date +%H:%M:%S)"
