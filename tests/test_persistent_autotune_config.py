@@ -144,6 +144,23 @@ def test_merge_dedup_by_key(store_dir):
     assert merged[0]["config"]["block_q"] == 512
 
 
+def test_resweep_write_replaces_stale_entry(store_dir):
+    """Round-4 regression: an incremental write of a FRESHLY MEASURED
+    entry (write_config_file(..., overwrite=True) — what the engine's
+    per-task merge-write now always does) must replace an existing entry
+    for the same key; the old default silently discarded whole re-sweeps
+    while keeping unrelated keys intact."""
+    other = make_entry(_key(headdim=320, headdim_v=320), BlockConfig(block_q=128))
+    stale = make_entry(_key(), BlockConfig(block_q=128), ms=0.0)
+    write_config_file([other, stale], device_kind="FakeTPU v99")
+    fresh = make_entry(_key(), BlockConfig(block_q=1024), ms=12.5)
+    write_config_file([fresh], device_kind="FakeTPU v99", overwrite=True)
+    clear_lookup_cache()
+    got = _lookup()
+    assert got.block_q == 1024  # re-sweep landed
+    assert _lookup(d=320).block_q == 128  # unrelated key survived the merge
+
+
 def test_kill_switch(store_dir, monkeypatch):
     write_config_file(
         [make_entry(_key(), BlockConfig(block_q=512))], device_kind="FakeTPU v99"
