@@ -139,6 +139,36 @@ def main():
     print(f"logits-only scan slope {ms:.2f} ms/step "
           f"(t16={ta:.0f} t64={tb:.0f})", flush=True)
 
+    # 4b. raw decode-attention slope at the serve shape (B=4, bias) — a
+    # scan of bare kernel calls over a fixed cache isolates the attention
+    # from the transformer stack.
+    from ffpa_attn_tpu.interface import ffpa_attn_func
+
+    kq = jax.random.PRNGKey(7)
+    q1 = jax.random.normal(kq, (B, H, 1, DH), jnp.bfloat16)
+    kc = cache0[0]["k"]
+    vc = cache0[0]["v"]
+    cols = jnp.arange(max_len)[None, :]
+    bias = jnp.where(
+        cols < lens_arr[:, None], 0.0, -1e30
+    ).astype(jnp.float32)[:, None, None, :]
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def attn_only(q1, steps: int):
+        def body(q_, _):
+            o = ffpa_attn_func(
+                q_, kc, vc, attn_mask=bias,
+                enable_gqa=H != HKV,
+            )
+            return o, 0
+
+        out, _ = jax.lax.scan(body, q1, None, length=steps)
+        return out
+
+    ms, ta, tb = slope(lambda s: attn_only(q1, s), a=SA, b=SB)
+    print(f"attn-only (B={B} bias decode) slope {ms:.2f} ms/step "
+          f"(t16={ta:.0f} t64={tb:.0f})", flush=True)
+
     # 5. single-stream generate slope for the per-sequence comparison
     from ffpa_attn_tpu.models import generate as generate_fn
 
