@@ -1,8 +1,8 @@
-"""Summarize the r3 chip campaign's step logs into one markdown report.
+"""Summarize a chip campaign's step logs into one markdown report.
 
-Run after (or during) tools/r3_chip_queue.sh:
+    python tools/r3_harvest.py [logdir] [> docs/roundN_campaign.md]
 
-    python tools/r3_harvest.py [> docs/round3_campaign.md]
+Defaults to tools/r3_logs; pass tools/r4_logs for the round-4 campaign.
 
 Collects, per step: done/failed status, runtime hints, the bench tables'
 speedup rows, autotune entry counts, verify worst-ratios, and probe
@@ -16,12 +16,16 @@ import os
 import re
 import sys
 
-LOGS = os.path.join(os.path.dirname(__file__), "r3_logs")
+LOGS = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else os.path.join(os.path.dirname(__file__), "r3_logs")
+)
 
 
 def main() -> int:
     if not os.path.isdir(LOGS):
-        print("no r3_logs directory")
+        print(f"no {LOGS} directory")
         return 1
     entries = {}
     for name in sorted(os.listdir(LOGS)):
