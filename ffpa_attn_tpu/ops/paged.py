@@ -300,8 +300,8 @@ def _paged_decode_kernel(
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, page, D) — bf16, or int8 with ks_ref scales
     v_ref,  # (1, 1, page, Dv)
-    ks_ref,  # optional (1, 1, page) fp32 per-row K dequant scales
-    vs_ref,  # optional (1, 1, page) fp32 per-row V dequant scales
+    ks_ref,  # optional (1, 1, page, 1) fp32 per-row K dequant scales
+    vs_ref,  # optional (1, 1, page, 1) fp32 per-row V dequant scales
     o_ref,  # (1, 1, bq, Dv) out
     lse_ref,  # (1, 1, bq, LANE) f32 out
     m_scr,
@@ -350,7 +350,7 @@ def _paged_decode_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(scale)
         if ks_ref is not None:
-            s = s * ks_ref[0, 0][None, :]
+            s = s * ks_ref[0, 0, :, 0][None, :]
         if softcap > 0.0:
             # After the dequant multiply: the cap sees the true logit.
             cap = jnp.float32(softcap)
@@ -380,7 +380,7 @@ def _paged_decode_kernel(
         v = v_ref[0, 0]
         if v.dtype == jnp.int8:
             # Fold V's per-row dequant into P (a [bq, page] multiply).
-            p = p * vs_ref[0, 0][None, :]
+            p = p * vs_ref[0, 0, :, 0][None, :]
             v = v.astype(q_ref.dtype)
         pv = lax.dot_general(
             p.astype(v.dtype),
@@ -460,8 +460,8 @@ def paged_decode_attention(
     def kv_index(b_, hk, j, table_ref, lens_ref, mp=max_pages):
         return (table_ref[b_ * mp + page_step(b_, j, lens_ref)], hk, 0, 0)
 
-    def kv_index3(b_, hk, j, table_ref, lens_ref, mp=max_pages):
-        return (table_ref[b_ * mp + page_step(b_, j, lens_ref)], hk, 0)
+    def kv_index4(b_, hk, j, table_ref, lens_ref, mp=max_pages):
+        return (table_ref[b_ * mp + page_step(b_, j, lens_ref)], hk, 0, 0)
 
     in_specs = [
         pl.BlockSpec(
@@ -473,11 +473,16 @@ def paged_decode_attention(
     ]
     inputs = [flat_table, cache.lens, q_p, cache.k_pages, cache.v_pages]
     if cache.quantized:
+        # Trailing singleton lane axis: a (1, 1, page) block has last-two
+        # dims (1, page), which Mosaic rejects whenever Hkv > 1 (neither
+        # 8-divisible nor the full Hkv). (1, 1, page, 1) passes: page is
+        # 8-divisible and 1 IS the array's full trailing dim. The reshape
+        # is free (pure layout metadata on a minor-most unit axis).
         in_specs += [
-            pl.BlockSpec((1, 1, page), kv_index3),
-            pl.BlockSpec((1, 1, page), kv_index3),
+            pl.BlockSpec((1, 1, page, 1), kv_index4),
+            pl.BlockSpec((1, 1, page, 1), kv_index4),
         ]
-        inputs += [cache.k_scales, cache.v_scales]
+        inputs += [cache.k_scales[..., None], cache.v_scales[..., None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
