@@ -233,7 +233,13 @@ def main(argv=None) -> int:
         "--cross-tasks", action="store_true",
         help="add short-Nq cross-attention tasks (Nq = Nkv // 8)",
     )
-    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="deprecated no-op, kept for reference-CLI parity: freshly "
+        "measured entries ALWAYS replace stored entries at their key "
+        "(untouched keys are preserved either way)",
+    )
     parser.add_argument(
         "--num-workers", type=int, default=1,
         help="parallel worker processes, one per local TPU device",
@@ -294,6 +300,11 @@ def main(argv=None) -> int:
     # Freshly measured entries always win their key collision (see
     # engine.py run_isolated_autotune) — --overwrite is NOT required for a
     # re-sweep to land; it remains accepted for reference-CLI parity.
+    if not args.overwrite:
+        logger.info(
+            "note: freshly measured entries always replace stored entries "
+            "at their key (--overwrite is a deprecated no-op)"
+        )
     path = write_config_file(
         entries, directory=args.output_dir, overwrite=True
     )

@@ -166,9 +166,18 @@ def run_isolated_autotune(tasks, args) -> list[dict[str, Any]]:
             if args.mode == "max":
                 budget *= 2
             try:
-                budget = int(
+                override = int(
                     os.environ.get("FFPA_TPU_AUTOTUNE_TASK_BUDGET_S") or budget
                 )
+                if override > 0:
+                    budget = override
+                else:
+                    # A non-positive budget would expire every deadline on
+                    # arrival and silently kill the whole sweep task-by-task.
+                    logger.warning(
+                        "ignoring non-positive FFPA_TPU_AUTOTUNE_TASK_BUDGET_S"
+                        "=%r (keeping computed budget %ds)", override, budget,
+                    )
             except ValueError:
                 logger.warning(
                     "ignoring non-integer FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=%r",

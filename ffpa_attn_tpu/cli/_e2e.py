@@ -16,6 +16,7 @@ analog (single-kernel bench only) but is the number TPU users deploy by.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -214,11 +215,20 @@ def bench_serve_paged_window(
 
 def bench_speculative(
     *, prompt_len=1024, gen_len=128, k_spec=4, d_model=1024, n_layers=4,
-    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000,
+    n_heads=8, n_kv_heads=4, head_dim=512, vocab=32000, draft_layers=0,
 ) -> dict:
-    """Self-speculative decoding (draft == target: the acceptance-rate
-    ceiling): tokens/s vs bench_decode shows the verify-block win — k+1
-    positions score in ONE cache stream instead of k+1."""
+    """Speculative decoding tokens/s.
+
+    ``draft_layers=0`` (self-spec, draft == target): the acceptance-rate
+    CEILING — it can never beat plain decode (the draft costs as much as
+    the target; its value is validating the verify-block plumbing).
+    ``draft_layers=m > 0``: shallow-layer self-draft — the draft is the
+    target's FIRST m layers (shared weights, own KV cache), the standard
+    zero-training draft; per accepted token the draft costs m/L of a
+    target step, so throughput beats plain decode whenever the acceptance
+    rate clears ~(1 + k*m/L)/(k+1)."""
+    import dataclasses
+
     import numpy as np
 
     from ..models import ModelConfig, init_params, speculative_generate
@@ -229,6 +239,12 @@ def bench_speculative(
         max_seq_len=prompt_len + gen_len + k_spec + 2,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if draft_layers > 0:
+        cfg_d = dataclasses.replace(cfg, n_layers=draft_layers)
+        params_d = dict(params, layers=params["layers"][:draft_layers])
+        label = f"shallow-draft L{draft_layers}/{n_layers}"
+    else:
+        cfg_d, params_d, label = cfg, params, "self-spec"
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, vocab, (1, prompt_len)), jnp.int32)
     max_len = prompt_len + gen_len + k_spec + 2
@@ -236,22 +252,24 @@ def bench_speculative(
     from ._bench import _sync
 
     toks, stats = speculative_generate(
-        params, params, prompt, gen_len, cfg, cfg, max_len,
+        params, params_d, prompt, gen_len, cfg, cfg_d, max_len,
         k_spec=k_spec, return_stats=True,
     )
     _sync(toks)  # compile
     t0 = time.perf_counter()
     toks, stats = speculative_generate(
-        params, params, prompt, gen_len, cfg, cfg, max_len,
+        params, params_d, prompt, gen_len, cfg, cfg_d, max_len,
         k_spec=k_spec, return_stats=True,
     )
     _sync(toks)
     dt = time.perf_counter() - t0
     return {
-        "metric": "speculative_tokens_per_s",
+        "metric": "speculative_tokens_per_s"
+        if draft_layers == 0
+        else "speculative_draft_tokens_per_s",
         "value": round(gen_len / dt, 1),
         "unit": "tokens/s",
-        "config": f"self-spec k{k_spec} prompt{prompt_len} gen{gen_len} "
+        "config": f"{label} k{k_spec} prompt{prompt_len} gen{gen_len} "
         f"L{n_layers} dm{d_model} H{n_heads}/{n_kv_heads} Dh{head_dim}",
         "accept_rate": round(
             stats["draft_accepted"] / max(stats["proposals"], 1), 3
@@ -298,10 +316,12 @@ def main(argv=None) -> int:
     for fn in (
         bench_train, bench_decode, bench_serve, bench_serve_paged,
         bench_serve_paged_int8, bench_serve_paged_window, bench_speculative,
+        functools.partial(bench_speculative, draft_layers=1),
         bench_scaling_projection,
     ):
         try:
             print(json.dumps(fn()))
         except Exception as exc:
-            print(json.dumps({"metric": fn.__name__, "error": str(exc)[:300]}))
+            name = getattr(fn, "__name__", getattr(getattr(fn, "func", None), "__name__", "bench"))
+            print(json.dumps({"metric": name, "error": str(exc)[:300]}))
     return 0

@@ -136,9 +136,12 @@ def serve_batch(
     # guard must stay: dynamic_update_slice clamps out-of-bounds starts and
     # would silently corrupt row max_len - 1 instead of failing.
     assert base + steps - 1 <= max_len, (base, steps, max_len)
-    cache = init_kv_cache(cfg, batch, max_len)
-    logits, cache = prefill_packed(params, packed, cu, max_seqlen, cfg, cache)
-    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+    # ONE program for alloc + prefill + first token: an eager prefill pays
+    # per-op dispatch (50-70 ms/op over the remote tunnel, ~40+ ops for a
+    # 4-layer model = seconds of pure launch overhead — the round-4
+    # serving probe's 5.9 s step-count-independent floor,
+    # tools/r4_logs/21.probe-serving.log).
+    tok, cache = _prefill_jit(params, packed, cu, batch, cfg, max_seqlen, max_len)
 
     if steps == 1:
         return tok[:, None]
@@ -149,6 +152,18 @@ def serve_batch(
         params, cache, lens, tok, cfg, steps - 1, base
     )
     return jnp.concatenate([tok[:, None], rest], axis=1)  # [B, steps]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch", "cfg", "max_seqlen", "max_len")
+)
+def _prefill_jit(params, packed, cu, batch: int, cfg: ModelConfig,
+                 max_seqlen: int, max_len: int):
+    """Cache alloc + packed varlen prefill + greedy first token as ONE
+    compiled program (serving's fixed cost is one dispatch, not ~10/layer)."""
+    cache = init_kv_cache(cfg, batch, max_len)
+    logits, cache = prefill_packed(params, packed, cu, max_seqlen, cfg, cache)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "base"))
@@ -274,8 +289,6 @@ def serve_batch_paged(
     the shared-row layout, cache rows ARE true positions (prompt rows then
     generated rows, contiguous per sequence) — no row remap, no mask gap.
     """
-    from ..ops.paged import PagedKVCache, fill_from_prefill
-
     batch = len(prompts)
     lens = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
     pack_to = pack_to or int(sum(int(p.shape[0]) for p in prompts))
@@ -284,6 +297,29 @@ def serve_batch_paged(
     # Highest token index ever cached is lens[b] + steps - 2 (the final
     # sampled token is returned, never cached).
     assert max_seqlen + steps - 1 <= max_len, (max_seqlen, steps, max_len)
+
+    tok, caches = _prefill_paged_jit(
+        params, packed, cu, lens, batch, cfg, max_seqlen, max_len,
+        page_size, quantized,
+    )
+    if steps == 1:
+        return tok[:, None]
+    rest = _paged_decode_loop_jit(params, caches, tok, cfg, steps - 1)
+    return jnp.concatenate([tok[:, None], rest], axis=1)  # [B, steps]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "cfg", "max_seqlen", "max_len", "page_size", "quantized"
+    ),
+)
+def _prefill_paged_jit(params, packed, cu, lens, batch: int, cfg: ModelConfig,
+                       max_seqlen: int, max_len: int, page_size: int,
+                       quantized: bool):
+    """Dense prefill + per-layer page-pool fill + first token as ONE
+    compiled program (same dispatch-amortization as _prefill_jit)."""
+    from ..ops.paged import PagedKVCache, fill_from_prefill
 
     dense = init_kv_cache(cfg, batch, max_seqlen)
     logits, dense = prefill_packed(params, packed, cu, max_seqlen, cfg, dense)
@@ -297,11 +333,7 @@ def serve_batch_paged(
         )
         for li in range(cfg.n_layers)
     ]
-    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
-    if steps == 1:
-        return tok[:, None]
-    rest = _paged_decode_loop_jit(params, caches, tok, cfg, steps - 1)
-    return jnp.concatenate([tok[:, None], rest], axis=1)  # [B, steps]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps"))

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.reference import DEFAULT_MASK_VALUE
-from .generate import _feature_kwargs, _project_qkv, init_kv_cache, prefill
+from .generate import _feature_kwargs, _project_qkv, init_kv_cache
 from .transformer import ModelConfig, _mlp, _rmsnorm
 
 
@@ -290,8 +290,14 @@ def speculative_generate(
         key = jax.random.PRNGKey(0)
     cache_t = init_kv_cache(cfg_target, b, max_len)
     cache_d = init_kv_cache(cfg_draft, b, max_len)
-    logits_t, cache_t = prefill(params_target, prompt, cfg_target, cache_t)
-    _, cache_d = prefill(params_draft, prompt, cfg_draft, cache_d)
+    # Jitted prefills: the eager layer loop pays per-op remote dispatch
+    # (50-70 ms/op over the tunnel) — two eager prefills were ~9 s of pure
+    # launch overhead, the whole gap behind the round-4 "8.6 tok/s"
+    # speculative row (tools/r4_logs/21.probe-serving.log constant term).
+    from .generate import _prefill_jit
+
+    logits_t, cache_t = _prefill_jit(params_target, prompt, cache_t, cfg_target)
+    _, cache_d = _prefill_jit(params_draft, prompt, cache_d, cfg_draft)
     from .sampling import sample_logits
 
     sampled = float(temperature) > 0.0

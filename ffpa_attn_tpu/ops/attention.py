@@ -478,12 +478,41 @@ def apply_attention(
         # as plain Nq=1 (the kernel pads Q to one 16-row sublane tile
         # either way), including softcap and sliding windows (the window's
         # KV index clamp makes long-cache windowed decode O(W), the
-        # Mistral/Gemma serving shape). Grads route through the dense
-        # kernels via its custom_vjp. ALiBi decode takes the dense kernel.
-        from .decode import decode_attention_supported, decode_attention
+        # Mistral/Gemma serving shape). GQA grads route through the grouped
+        # fp32 composite vjp (ops/decode.py:_decode_core_bwd), falling
+        # back to the tiled kernels above a score-size cutoff. ALiBi
+        # decode takes the dense kernel.
+        from .decode import (
+            _DECODE_BWD_COMPOSITE_MAX_ELEMS,
+            decode_attention,
+            decode_attention_supported,
+        )
 
         if decode_attention_supported(q, k):
             qb, kb, vb, was_f16 = _to_compute_dtype(q, k, v)
+            if (
+                q.shape[1] == k.shape[1]
+                and q.size * k.shape[2] // q.shape[3]
+                <= _DECODE_BWD_COMPOSITE_MAX_ELEMS
+            ):
+                # MHA decode: with no PackGQA fold the kernel has no
+                # bandwidth edge over the XLA composite (both stream K/V
+                # once: 0.72 vs 0.71 ms at the bench shape), while under
+                # jax.grad the composite lets XLA share the fwd's softmax
+                # residuals with the backward — the same residual sharing
+                # the SDPA baseline gets — instead of paying a custom_vjp
+                # recompute program (measured: grad 2.34 vs 2.74 ms).
+                # GQA keeps the kernel: the fold is a group-x traffic win
+                # both directions (6.3x fwd / 4-6x bwd benched).
+                out = reference_attention(
+                    qb, kb, vb, bias,
+                    is_causal=meta.is_causal,
+                    scale=meta.scale,
+                    softcap=softcap,
+                    window=window,
+                    sinks=sinks,
+                )
+                return out.astype(jnp.float16) if was_f16 else out
             out = decode_attention(
                 qb,
                 kb,

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .config import LANE, cdiv
 from .flash_fwd import _pad_dim, use_interpret
 from .reference import DEFAULT_MASK_VALUE
+from .rng import make_row_col_ids
 
 _DECODE_MAX_NQ = 8
 _DECODE_Q_TILE = 16  # minimum bf16 sublane tile
@@ -55,6 +56,7 @@ def _decode_kernel(
     bias_ref,  # optional (1, 1, 16|1, bkv)
     o_ref,  # (1, 1, 16, Dv)
     lse_ref,  # (1, 1, 16, LANE) f32, lanes replicated
+    s_ref,  # optional (1, 1, 16, bkv) f32 masked-score residual
     m_scr,
     l_scr,
     acc_scr,
@@ -120,6 +122,13 @@ def _decode_kernel(
             )
         if kv_padded:
             s = jnp.where(cols < true_nkv, s, DEFAULT_MASK_VALUE)
+        if s_ref is not None:
+            # Decode S-residency (the dense from-S backward's analog,
+            # flash_bwd.py): the masked post-bias/cap scores are O(16*Nkv)
+            # — a ~1 MB write that saves the backward its whole K re-read
+            # for the score recompute. Skipped tiles never write; the
+            # backward re-applies the band mask to zero their columns.
+            s_ref[0, 0] = s
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -172,6 +181,7 @@ def _decode_forward(
     interpret: Optional[bool] = None,
     softcap: float = 0.0,
     window: tuple = (-1, -1),
+    return_scores: bool = False,
 ):
     b, hq, nq, d = q.shape
     _, hkv, nkv, _ = k.shape
@@ -256,7 +266,7 @@ def _decode_forward(
         in_specs.append(pl.BlockSpec(tuple(bias_block), bias_index))
         inputs.append(bias)
 
-    kernel = _decode_kernel if has_bias else _decode_no_bias(_decode_kernel)
+    kernel = _decode_adapt(_decode_kernel, has_bias, return_scores)
     kernel = functools.partial(
         kernel,
         scale=scale,
@@ -272,18 +282,29 @@ def _decode_forward(
         window_right=window_right,
     )
 
-    o, lse_wide = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, hk, j: (b_, hk, 0, 0)),
+        pl.BlockSpec((1, 1, bq, LANE), lambda b_, hk, j: (b_, hk, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hkv, bq, dv_dim), q.dtype),
+        jax.ShapeDtypeStruct((b, hkv, bq, LANE), jnp.float32),
+    ]
+    if return_scores:
+        # NOT clamped like kv_index: each tile writes its own columns.
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, bkv), lambda b_, hk, j: (b_, hk, 0, j))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hkv, bq, nkv_pad), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         kernel,
         grid=(b, hkv, num_kv_blocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, dv_dim), lambda b_, hk, j: (b_, hk, 0, 0)),
-            pl.BlockSpec((1, 1, bq, LANE), lambda b_, hk, j: (b_, hk, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, bq, dv_dim), q.dtype),
-            jax.ShapeDtypeStruct((b, hkv, bq, LANE), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, LANE), jnp.float32),
             pltpu.VMEM((bq, LANE), jnp.float32),
@@ -294,16 +315,33 @@ def _decode_forward(
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(*inputs)
+    o, lse_wide = outs[0], outs[1]
 
     o = o[:, :, :rows].reshape(b, hq, nq, dv_dim)
     lse = lse_wide[:, :, :rows, 0].reshape(b, hq, nq)
+    if return_scores:
+        return o, lse, outs[2]
     return o, lse
 
 
-def _decode_no_bias(kernel):
+def _decode_adapt(kernel, has_bias: bool, has_scores: bool):
+    """Map pallas positional refs onto the full kernel signature, filling
+    the absent optional refs (bias in, scores out) with None."""
+
     @functools.wraps(kernel)
-    def wrapped(q_ref, k_ref, v_ref, o_ref, lse_ref, m, l, acc, **kw):
-        return kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, m, l, acc, **kw)
+    def wrapped(*refs, **kw):
+        refs = list(refs)
+        m, l, acc = refs[-3:]
+        refs = refs[:-3]
+        q_ref, k_ref, v_ref = refs[:3]
+        refs = refs[3:]
+        bias_ref = refs.pop(0) if has_bias else None
+        o_ref, lse_ref = refs[:2]
+        s_ref = refs[2] if has_scores else None
+        return kernel(
+            q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, s_ref, m, l, acc,
+            **kw,
+        )
 
     return wrapped
 
@@ -325,52 +363,191 @@ def _decode_core(scale, is_causal, softcap, window, q, k, v, bias, sinks):
     return o
 
 
+# Score-residual budget for the differentiated decode forward: below this
+# the kernel emits the masked scores (a ~1 MB-per-head-row write) and the
+# backward skips its whole K re-read; above it the backward recomputes S
+# from (q, k, lse). 256 MiB keeps the residual invisible at serving/bench
+# shapes without risking HBM on huge-cache corners.
+_DECODE_SCORES_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias, sinks):
-    o, lse = _decode_forward(
-        q, k, v, bias, scale=scale, is_causal=is_causal,
-        softcap=softcap, window=window,
+    b, hq, nq, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    bq = cdiv(group * nq, _DECODE_Q_TILE) * _DECODE_Q_TILE
+    emit_scores = (
+        b * hkv * bq * k.shape[2] * 4 <= _DECODE_SCORES_MAX_BYTES
+        # The from-S tanh chain factor is recoverable only when the saved
+        # S carries no additive terms (same rule as the dense S-residency
+        # gate, ops/attention.py:_resident_head_count).
+        and not (softcap > 0.0 and bias is not None)
     )
+    scores = None
+    if emit_scores:
+        o, lse, scores = _decode_forward(
+            q, k, v, bias, scale=scale, is_causal=is_causal,
+            softcap=softcap, window=window, return_scores=True,
+        )
+    else:
+        o, lse = _decode_forward(
+            q, k, v, bias, scale=scale, is_causal=is_causal,
+            softcap=softcap, window=window,
+        )
     if sinks is not None:
-        # Sink-inclusive residuals: the dense backward is exact under them
-        # (ops/attention.py:apply_sinks).
+        # Sink-inclusive residuals: the backward is exact under them
+        # (ops/attention.py:apply_sinks) — with p = exp(s - lse'), the
+        # standard ds identity already accounts for the sink's normalizer
+        # share, and dsinks falls out in closed form (sink_grad).
         o, lse = _decode_apply_sinks(o, lse, sinks)
-    return o, (q, k, v, bias, sinks, o, lse)
+    return o, (q, k, v, bias, sinks, o, lse, scores)
+
+
+# Above this many score elements (B*Hq*Nq*Nkv) the composite's fp32
+# [B,Hkv,G,Nq,Nkv] score/dS buffers stop being "trivially fused" and can
+# out-size HBM (e.g. B=32, Hq=32, Nkv=128K caches); route to the tiled
+# flash backward, which streams O(block) memory.
+_DECODE_BWD_COMPOSITE_MAX_ELEMS = 1 << 28  # 256M f32 elems = 1 GiB/buffer
 
 
 def _decode_core_bwd(scale, is_causal, softcap, window, residuals, do):
-    # fp32 composite vjp, NOT the dense Pallas backward: at Nq <= 8 the
-    # scores tensor is O(8 * Nkv) — trivially fused by XLA — while the
-    # tiled backward pads the Q axis to a full 128-row block and streams
-    # whole K/V tiles for it (measured round 4: 4.33 ms vs the
-    # composite's 1.63 ms at Nkv=8192 D=512, the 0.38x decode-bwd bench
-    # row). Numerically this IS the oracle's own gradient. jax.vjp
-    # differentiates through expand_kv_heads, so dk/dv come back
-    # group-reduced to [B, Hkv, Nkv, D].
-    from .reference import expand_kv_heads, reference_attention
+    """Grouped fp32 composite vjp for decode (Nq <= 8) shapes.
 
-    q, k, v, bias, sinks, o, lse = residuals
-    hq = q.shape[1]
+    NOT the dense Pallas backward: at Nq <= 8 the score tensor is
+    O(group*8 x Nkv) — trivially fused by XLA — while the tiled backward
+    pads the Q axis to a full 128-row block and streams whole K/V tiles
+    for it (measured round 4: 4.33 ms vs the composite's 1.63 ms at
+    Nkv=8192 D=512 MHA).
 
-    def _ref(q_, k_, v_, bias_, sinks_):
-        return reference_attention(
-            q_,
-            expand_kv_heads(k_, hq),
-            expand_kv_heads(v_, hq),
-            bias_,
-            is_causal=is_causal,
-            scale=scale,
-            softcap=softcap,
-            window=window,
-            sinks=sinks_,
+    The GQA-critical property (round-4 regression fix): everything stays
+    in GROUPED [B, Hkv, G*Nq, *] layout — K/V are never expanded to Hq
+    width, dS is contracted over the whole (group, Nq) row axis in ONE
+    matmul per KV head, so the K/V HBM stream is Hkv-wide bf16 (the same
+    einsum restructuring the Pallas backward does in its accumulator).
+    The expand-heads jax.vjp this replaces materialized fp32 [B,Hq,Nkv,D]
+    K/V copies — a group*2x traffic blowup that benched 0.35x vs SDPA.
+    bf16 x bf16 -> fp32-accumulated dots are exact for bf16 operands, so
+    this remains the oracle's own gradient.
+    """
+    from .attention import sink_grad
+    from .flash_bwd import flash_attention_backward
+
+    q, k, v, bias, sinks, o, lse, scores = residuals
+    b, hq, nq, d = q.shape
+    hkv, nkv = k.shape[1], k.shape[2]
+    dv_dim = v.shape[-1]
+    g = hq // hkv
+
+    if b * hq * nq * nkv > _DECODE_BWD_COMPOSITE_MAX_ELEMS:
+        # Huge-cache training corner: tiled backward, O(block) memory.
+        dq, dk, dv, dbias = flash_attention_backward(
+            q, k, v, bias, o, lse, do.astype(o.dtype),
+            scale=scale, is_causal=is_causal,
+            softcap=softcap, window=window,
+        )
+        dsinks = None if sinks is None else sink_grad(do, o, lse, sinks)
+        return (
+            dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, dsinks,
         )
 
-    if sinks is None:
-        _, vjp = jax.vjp(lambda a, b, c, d: _ref(a, b, c, d, None), q, k, v, bias)
-        dq, dk, dv, dbias = vjp(do.astype(o.dtype))
-        dsinks = None
+    rows, cols = make_row_col_ids(nq, nkv)
+    offset = nkv - nq
+    qg = q.reshape(b, hkv, g, nq, d)
+    dog = do.astype(o.dtype).reshape(b, hkv, g, nq, dv_dim)
+    lse_g = lse.reshape(b, hkv, g, nq)
+
+    wl, wr = int(window[0]), int(window[1])
+    if is_causal:
+        wr = 0
+    band = None
+    if wr >= 0 or wl >= 0:
+        band = jnp.ones((nq, nkv), bool)
+        if wr >= 0:
+            band = band & (cols <= rows + offset + wr)
+        if wl >= 0:
+            band = band & (cols >= rows + offset - wl)
+
+    t = None
+    if scores is not None:
+        # From-S: the forward saved the masked post-bias/cap scores, so the
+        # backward never re-reads K for the score recompute. Skipped tiles
+        # (band-gated forward steps) left garbage columns — the band
+        # re-mask zeroes them.
+        s = scores[:, :, : g * nq, :nkv].reshape(b, hkv, g, nq, nkv)
+        if band is not None:
+            s = jnp.where(band[None, None, None], s, DEFAULT_MASK_VALUE)
+        if softcap and softcap > 0.0:
+            # s = cap*tanh(s_pre/cap) (no additive terms by the emit gate),
+            # so the chain factor's tanh is s/cap. Clamp: masked sentinel
+            # values would overflow t*t into inf and 0*inf = NaN.
+            t = jnp.clip(s / jnp.float32(softcap), -1.0, 1.0)
     else:
-        _, vjp = jax.vjp(_ref, q, k, v, bias, sinks)
-        dq, dk, dv, dbias, dsinks = vjp(do.astype(o.dtype))
+        # Recompute P from the saved LSE (fp32-accum, grouped K stream).
+        s = lax.dot_general(
+            qg, k,
+            ((((4,), (3,))), (((0, 1), (0, 1)))),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(scale)  # [B, Hkv, G, Nq, Nkv]
+        if softcap and softcap > 0.0:
+            cap = jnp.float32(softcap)
+            t = jnp.tanh(s / cap)
+            s = cap * t
+        if bias is not None:
+            bias_f = jnp.broadcast_to(
+                bias.astype(jnp.float32), (b, hq, nq, nkv)
+            ).reshape(b, hkv, g, nq, nkv) if (
+                bias.shape[1] != 1 or g == 1
+            ) else bias.astype(jnp.float32)[:, :, None]
+            s = s + bias_f
+        if band is not None:
+            s = jnp.where(band[None, None, None], s, DEFAULT_MASK_VALUE)
+    # Out-of-band p underflows to exactly 0 (MASK_VALUE - lse << -88), so
+    # masked keys get exactly-zero dk/dv, matching the oracle's vjp.
+    p = jnp.exp(s - lse_g[..., None])
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(b, hkv, g, nq)
+    dp = lax.dot_general(
+        dog, v,
+        ((((4,), (3,))), (((0, 1), (0, 1)))),
+        preferred_element_type=jnp.float32,
+    )  # [B, Hkv, G, Nq, Nkv]
+    ds = p * (dp - delta[..., None])
+
+    dbias = None
+    if bias is not None:
+        # sum-to-size over the broadcast axes of the original bias shape.
+        ds_full = ds.reshape(b, hq, nq, nkv)
+        reduce_axes = tuple(
+            ax for ax in range(4) if bias.shape[ax] == 1 and ds_full.shape[ax] != 1
+        )
+        dbias = ds_full.sum(axis=reduce_axes, keepdims=True).astype(bias.dtype)
+
+    if t is not None:
+        ds = ds * (1.0 - t * t)
+    ds = ds * jnp.float32(scale)
+
+    dq = lax.dot_general(
+        ds, k,
+        ((((4,), (2,))), (((0, 1), (0, 1)))),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, hq, nq, d)  # [B,Hkv,G,Nq,D]
+    # dk/dv contract over the whole packed (G, Nq) row axis in one matmul
+    # per KV head — the grouped-accumulator sum.
+    dk = lax.dot_general(
+        ds, qg,
+        ((((2, 3), (2, 3))), (((0, 1), (0, 1)))),
+        preferred_element_type=jnp.float32,
+    )  # contracts (G, Nq) -> [B, Hkv, Nkv, D]
+    dv = lax.dot_general(
+        p, dog,
+        ((((2, 3), (2, 3))), (((0, 1), (0, 1)))),
+        preferred_element_type=jnp.float32,
+    )  # [B, Hkv, Nkv, Dv]
+
+    dsinks = None if sinks is None else sink_grad(do, o, lse, sinks)
     return (
         dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
         dbias, dsinks,

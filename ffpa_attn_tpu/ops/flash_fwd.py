@@ -215,12 +215,16 @@ def _fwd_kernel(
 
         if _dbg >= 3:  # all kernel traces: one line per visited KV tile
             # Mosaic debug_print placeholders are int32-only; stats ride
-            # as milli-units.
+            # as milli-units. Same +-inf/overflow clamp as the level-2
+            # epilogue print: a masked-out first row has m at -inf (or
+            # DEFAULT_MASK_VALUE, where *1000 overflows f32) and
+            # float->int of that is undefined.
+            sent3 = jnp.float32(-(2 ** 30))
             pl.debug_print(
                 "ffpa-fwd tile b={} h={} qi={} kj={} m0_milli={} l0_milli={}",
                 b_idx, h_idx, i, j,
-                (m_next[0, 0] * 1000.0).astype(jnp.int32),
-                (l_next[0, 0] * 1000.0).astype(jnp.int32),
+                jnp.clip(m_next[0, 0] * 1000.0, sent3, -sent3).astype(jnp.int32),
+                jnp.clip(l_next[0, 0] * 1000.0, sent3, -sent3).astype(jnp.int32),
             )
 
     # Causal: S blocks above the diagonal are never written — the S out

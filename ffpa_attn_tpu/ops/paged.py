@@ -300,8 +300,8 @@ def _paged_decode_kernel(
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, page, D) — bf16, or int8 with ks_ref scales
     v_ref,  # (1, 1, page, Dv)
-    ks_ref,  # optional (1, 1, page, 1) fp32 per-row K dequant scales
-    vs_ref,  # optional (1, 1, page, 1) fp32 per-row V dequant scales
+    ks_ref,  # optional (1, 1, 1, page) fp32 per-row K dequant scales
+    vs_ref,  # optional (1, 1, 1, page) fp32 per-row V dequant scales
     o_ref,  # (1, 1, bq, Dv) out
     lse_ref,  # (1, 1, bq, LANE) f32 out
     m_scr,
@@ -350,7 +350,7 @@ def _paged_decode_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(scale)
         if ks_ref is not None:
-            s = s * ks_ref[0, 0, :, 0][None, :]
+            s = s * ks_ref[0, 0]  # [1, page] broadcasts over rows
         if softcap > 0.0:
             # After the dequant multiply: the cap sees the true logit.
             cap = jnp.float32(softcap)
@@ -380,7 +380,7 @@ def _paged_decode_kernel(
         v = v_ref[0, 0]
         if v.dtype == jnp.int8:
             # Fold V's per-row dequant into P (a [bq, page] multiply).
-            p = p * vs_ref[0, 0, :, 0][None, :]
+            p = p * vs_ref[0, 0]
             v = v.astype(q_ref.dtype)
         pv = lax.dot_general(
             p.astype(v.dtype),
@@ -473,16 +473,19 @@ def paged_decode_attention(
     ]
     inputs = [flat_table, cache.lens, q_p, cache.k_pages, cache.v_pages]
     if cache.quantized:
-        # Trailing singleton lane axis: a (1, 1, page) block has last-two
-        # dims (1, page), which Mosaic rejects whenever Hkv > 1 (neither
-        # 8-divisible nor the full Hkv). (1, 1, page, 1) passes: page is
-        # 8-divisible and 1 IS the array's full trailing dim. The reshape
-        # is free (pure layout metadata on a minor-most unit axis).
+        # Scales ride with PAGE ON THE LANE AXIS: [num_pages, Hkv, 1, page]
+        # blocks of (1, 1, 1, page). The last two block dims are (1, page) —
+        # 1 is the full unit axis and page is a LANE multiple — so the block
+        # lowers at EVERY page size (the round-4 (1, 1, page, 1) layout put
+        # page on sublanes with a unit lane dim, which Mosaic rejected at
+        # page=256). This is also the consumption layout: the kernel
+        # multiplies the [1, page] scale row straight into s/p along lanes.
+        # The unit-axis insert before the minor-most dim is free metadata.
         in_specs += [
-            pl.BlockSpec((1, 1, page, 1), kv_index4),
-            pl.BlockSpec((1, 1, page, 1), kv_index4),
+            pl.BlockSpec((1, 1, 1, page), kv_index4),
+            pl.BlockSpec((1, 1, 1, page), kv_index4),
         ]
-        inputs += [cache.k_scales[..., None], cache.v_scales[..., None]]
+        inputs += [cache.k_scales[:, :, None], cache.v_scales[:, :, None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

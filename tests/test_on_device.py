@@ -214,20 +214,24 @@ def test_fp8_ds_handoff_on_device(tpu, monkeypatch):
     assert _rel(r8[0], r16[0]) > 0, "fp8 run suspiciously identical"
 
 
-@pytest.mark.parametrize("quantized", [False, True])
-def test_paged_decode_on_device(tpu, quantized):
+@pytest.mark.parametrize(
+    "quantized,page", [(False, 128), (True, 128), (True, 256)]
+)
+def test_paged_decode_on_device(tpu, quantized, page):
     """Mosaic gate for the paged decode kernel: the page walk is a
     scalar-prefetch table lookup in the K/V BlockSpec index maps — the
     1-D-flattened pattern documented as stable on v5e (docs/env.md); this
     proves it on real hardware against the dense decode path. The int8
-    variant additionally gates the in-kernel i8->bf16 dequant fold."""
+    variant additionally gates the in-kernel i8->bf16 dequant fold, at
+    BOTH page sizes (page=256 crashed the round-4 sublane-axis scales
+    layout)."""
     import dataclasses
 
     from ffpa_attn_tpu import (
         PagedKVCache, append_token, ffpa_attn_func, paged_decode_attention,
     )
 
-    b, hkv, hq, d, page = 2, 2, 8, 512, 128
+    b, hkv, hq, d = 2, 2, 8, 512
     lens = [300, 129]
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     full_k = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)

@@ -277,15 +277,18 @@ def test_page_allocator_admission_eviction():
     assert alloc.acquire(2) is not None
 
 
-def test_paged_decode_int8_pool():
+@pytest.mark.parametrize("page", [128, 256])
+def test_paged_decode_int8_pool(page):
     """int8 KV pool (alloc(quantized=True)): halves the decode kernel's
     HBM stream; per-row symmetric amax scaling keeps error at bf16 levels
     (int8 values are exact in bf16; dequant folds into [bq, page]-sized
     multiplies on S and P). Fill + append + attend vs the fp oracle, and
-    vs the bf16 pool (quantization-only delta)."""
+    vs the bf16 pool (quantization-only delta). Parametrized over page
+    size: the round-4 scales layout lowered at page=128 but crashed
+    Mosaic at page=256 (lane-axis scales lower at every page size)."""
     from ffpa_attn_tpu.ops.paged import fill_from_prefill
 
-    b, hkv, hq, d, page = 2, 2, 8, 320, 128
+    b, hkv, hq, d = 2, 2, 8, 320
     lens = [200, 77]
     ks = jax.random.split(jax.random.PRNGKey(21), 4)
     fk = jax.random.normal(ks[0], (b, hkv, max(lens), d), jnp.bfloat16)
