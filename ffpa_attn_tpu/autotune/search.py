@@ -144,7 +144,13 @@ def bwd_candidates(
                 dkdv_bytes = (
                     bwd_dkdv_from_s_vmem_bytes(cfg, d, dv, itemsize)
                     if from_scores
-                    else bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias)
+                    else bwd_dkdv_vmem_bytes(
+                        cfg, d, dv, itemsize, has_bias,
+                        # f16 tasks run the hi+lo dV split; charge its
+                        # extra live tiles (fp8-dS is disabled exactly for
+                        # those tasks, so reuse that signal).
+                        precise_pv=not allow_fp8_ds,
+                    )
                 )
                 if (
                     dkdv_bytes > limit

@@ -127,6 +127,28 @@ class ENV:
         return _env_bool("FFPA_TPU_ALLOW_FP8_DS", False)
 
     @staticmethod
+    def f16_pv_mode() -> str:
+        """dV-precision scheme for float16 inputs (flash_bwd._dv_accumulate):
+
+        'hilo' (default) — split BOTH P and the f16 cotangent into hi+lo
+        bf16 pairs: 3 dV matmuls (7 backward units total), measured error
+        ~1e-5 (beats the reference's native-fp16 path).
+        'psplit' — split P only: 2 dV matmuls (6 units).
+        'plain' — single bf16 dV matmul (5 units, the bf16 cost).
+
+        The cheaper modes trade dV rounding error for ~15-30% backward
+        time; the shipped default is whichever the measured contract table
+        (docs/design.md "fp16") shows holding 1e-2 with margin."""
+        import os
+
+        mode = os.environ.get("FFPA_TPU_F16_PV_MODE", "hilo").lower()
+        if mode not in ("hilo", "psplit", "plain"):
+            raise ValueError(
+                f"FFPA_TPU_F16_PV_MODE must be hilo|psplit|plain, got {mode!r}"
+            )
+        return mode
+
+    @staticmethod
     def hbm_bytes() -> int:
         """Total device HBM assumed by the dS-handoff headroom gate
         (v5e: 16 GiB)."""

@@ -135,11 +135,17 @@ def bwd_dkdv_vmem_bytes(
     itemsize: int,
     has_bias: bool,
     emit_ds: bool = False,
+    precise_pv: bool = False,
 ) -> int:
     """Calibrated against the v5e D=512 sweep: owner KV tiles are
     single-buffered (fixed per cell), streamed Q/dO tiles double-buffered,
     and the tile math holds ~3 score-sized fp32 live values (s, dP, dS).
-    ``emit_ds`` adds the double-buffered dS handoff output block."""
+    ``emit_ds`` adds the double-buffered dS handoff output block.
+    ``precise_pv`` (the fp16 hi+lo dV split) adds the do_lo input stream
+    plus ~2 extra live score tiles (p_hi/p_lo and their scheduling slack)
+    — without this term a 512x512 handoff tile modeled at 10.7 MiB
+    measured 16.05 MiB scoped VMEM and failed AOT compile at
+    fp16 D=640 (round-5 probe)."""
     bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
     dk_in = cfg.dkdv_dk_in_kernel
     # With dK out of kernel only its fp32 scratch drops here (K/Q are
@@ -150,7 +156,8 @@ def bwd_dkdv_vmem_bytes(
     scratch = bkv * ((d if dk_in else 0) + dv) * 4  # dk?, dv accumulators
     bias = 2 * bq * bkv * 4 if has_bias else 0
     ds_out = 2 * bq * bkv * (cfg.ds_store_bits // 8) if emit_ds else 0
-    return kv_tiles + q_streams + scores + scratch + bias + ds_out
+    f16_tax = (2 * bq * dv * itemsize + 2 * bq * bkv * 4) if precise_pv else 0
+    return kv_tiles + q_streams + scores + scratch + bias + ds_out + f16_tax
 
 
 def bwd_dkdv_from_s_vmem_bytes(

@@ -160,8 +160,12 @@ def pick_backward_config(
         ).clamp(nq, nkv)
 
     # dkdv blocks must fit with the handoff dS output (the common path);
-    # _fit_dkdv_for_ds re-checks at launch time anyway.
-    dkdv = first_fit(dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True)
+    # _fit_dkdv_for_ds re-checks at launch time anyway. fp16 runs the
+    # hi+lo dV split, whose extra live tiles the model must charge.
+    is_f16 = jnp.dtype(dtype) == jnp.float16
+    dkdv = first_fit(
+        dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True, precise_pv=is_f16
+    )
     dq = first_fit(dq_prefs, bwd_dq_vmem_bytes)
     return propose_fp8(
         replace(dkdv, block_q_dq=dq.block_q_dq, block_kv_dq=dq.block_kv_dq)

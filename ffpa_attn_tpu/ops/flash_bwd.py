@@ -56,6 +56,11 @@ def _dv_accumulate(dv_scr, p_dropped, do, precise_pv: bool, do_lo=None):
     alone leaves a ~7e-5 violation tail at N=2048; with the dO split the
     error drops to ~1e-5, beating even the reference's native-fp16 path)."""
     if precise_pv:
+        # FFPA_TPU_F16_PV_MODE selects the scheme at TRACE time (env.py
+        # f16_pv_mode): 'hilo' = both splits (3 matmuls), 'psplit' = P
+        # split only (2), 'plain' handled by the caller (precise_pv off).
+        from ..env import ENV
+
         p_hi = p_dropped.astype(do.dtype)
         p_lo = (p_dropped - p_hi.astype(jnp.float32)).astype(do.dtype)
         acc = lax.dot_general(
@@ -65,7 +70,7 @@ def _dv_accumulate(dv_scr, p_dropped, do, precise_pv: bool, do_lo=None):
             p_lo, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if do_lo is not None:
+        if do_lo is not None and ENV.f16_pv_mode() == "hilo":
             acc += lax.dot_general(
                 p_hi, do_lo, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -873,9 +878,17 @@ def flash_attention_backward(
     do_lo = None
     f16_cotangent = do.dtype == jnp.float16
     if f16_cotangent:
+        from ..env import ENV
+
         do32 = do.astype(jnp.float32)
         do = do.astype(jnp.bfloat16)
-        if precise_pv:
+        mode = ENV.f16_pv_mode()
+        if precise_pv and mode == "plain":
+            # Experimental cheap mode: single bf16 dV matmul (5 backward
+            # units). The measured contract table in docs/design.md
+            # governs whether this may ship as a default.
+            precise_pv = False
+        if precise_pv and mode == "hilo":
             do_lo = (do32 - do.astype(jnp.float32)).astype(jnp.bfloat16)
 
     causal_offset = nkv - nq
@@ -988,7 +1001,10 @@ def flash_attention_backward(
         limit = slab_limit if slab_limit > 0 else limit
     ds_handoff = ds_handoff and run_dkdv and run_dq
     if ds_handoff:
-        config = _fit_dkdv_for_ds(config, d, dv_dim, q.dtype, bias is not None)
+        config = _fit_dkdv_for_ds(
+            config, d, dv_dim, q.dtype, bias is not None,
+            precise_pv=precise_pv and f16_cotangent,
+        )
 
     if ds_handoff:
         bkv_h = config.block_kv_dkdv
@@ -1132,10 +1148,13 @@ def flash_attention_backward(
     return dq, dk, dv, dbias
 
 
-def _fit_dkdv_for_ds(config: BlockConfig, d, dv, dtype, has_bias) -> BlockConfig:
+def _fit_dkdv_for_ds(
+    config: BlockConfig, d, dv, dtype, has_bias, precise_pv: bool = False
+) -> BlockConfig:
     """Shrink the dK/dV owner/stream blocks until the extra dS output block
     fits the VMEM budget (the handoff adds 2*bq*bkv*itemsize of output
-    double-buffer the plain kernel doesn't carry)."""
+    double-buffer the plain kernel doesn't carry; ``precise_pv`` adds the
+    fp16 hi+lo tax — see config.bwd_dkdv_vmem_bytes)."""
     from dataclasses import replace
 
     from ..env import ENV
@@ -1145,7 +1164,10 @@ def _fit_dkdv_for_ds(config: BlockConfig, d, dv, dtype, has_bias) -> BlockConfig
     itemsize = jnp.dtype(dtype).itemsize
     cfg = config
     while (
-        bwd_dkdv_vmem_bytes(cfg, d, dv, itemsize, has_bias, emit_ds=True)
+        bwd_dkdv_vmem_bytes(
+            cfg, d, dv, itemsize, has_bias, emit_ds=True,
+            precise_pv=precise_pv,
+        )
         > limit
     ):
         bq, bkv = cfg.block_q_dkdv, cfg.block_kv_dkdv
