@@ -312,16 +312,94 @@ def bench_scaling_projection() -> dict:
     }
 
 
-def main(argv=None) -> int:
-    for fn in (
-        bench_train, bench_decode, bench_serve, bench_serve_paged,
-        bench_serve_paged_int8, bench_serve_paged_window, bench_speculative,
-        functools.partial(bench_speculative, draft_layers=1),
-        bench_scaling_projection,
-    ):
-        try:
-            print(json.dumps(fn()))
-        except Exception as exc:
-            name = getattr(fn, "__name__", getattr(getattr(fn, "func", None), "__name__", "bench"))
-            print(json.dumps({"metric": name, "error": str(exc)[:300]}))
-    return 0
+#: name -> zero-arg bench callable. Ordered; each runs in its own process
+#: under ``main`` so one wedged TPU client cannot poison the rest (the
+#: round-4 run lost five benches to a single InvalidArgument cascade).
+E2E_BENCHES = {
+    "smoke": functools.partial(
+        bench_decode, b=1, prompt_len=64, gen_len=8, d_model=64, n_layers=1,
+        n_heads=2, n_kv_heads=1, head_dim=64, vocab=256,
+    ),
+    "train": bench_train,
+    "decode": bench_decode,
+    "serve": bench_serve,
+    "serve_paged": bench_serve_paged,
+    "serve_paged_int8": bench_serve_paged_int8,
+    "serve_paged_window": bench_serve_paged_window,
+    "speculative": bench_speculative,
+    "speculative_draft": functools.partial(bench_speculative, draft_layers=1),
+    "scaling_projection": bench_scaling_projection,
+}
+
+
+def run_one(name: str) -> int:
+    """Run a single e2e bench in THIS process; full traceback on stderr."""
+    import sys
+    import traceback
+
+    fn = E2E_BENCHES[name]
+    try:
+        print(json.dumps(fn()), flush=True)
+        return 0
+    except Exception as exc:
+        traceback.print_exc()
+        print(
+            json.dumps({"metric": f"bench_{name}", "error": str(exc)[:300]}),
+            flush=True,
+        )
+        return 1
+
+
+def main(argv=None, only=None) -> int:
+    """Run each bench in a fresh subprocess (fresh TPU client per bench).
+
+    ``only`` (or FFPA_TPU_E2E_ONLY, comma-separated names) restricts the
+    set; FFPA_TPU_E2E_INPROC=1 falls back to same-process execution
+    (used by the subprocess leg itself, and handy under debuggers).
+    """
+    import os
+    import subprocess
+    import sys
+
+    # "smoke" is a plumbing-test leg (tiny shapes), selectable but not
+    # part of the default sweep.
+    names = [n for n in E2E_BENCHES if n != "smoke"]
+    sel = only or os.environ.get("FFPA_TPU_E2E_ONLY")
+    if sel:
+        sel = [s.strip() for s in (sel.split(",") if isinstance(sel, str) else sel)]
+        unknown = [s for s in sel if s not in E2E_BENCHES]
+        if unknown:
+            raise SystemExit(f"unknown e2e bench(es) {unknown}; have {names}")
+        names = sel
+
+    if os.environ.get("FFPA_TPU_E2E_INPROC") == "1":
+        rc = 0
+        for name in names:
+            rc |= run_one(name)
+        return rc
+
+    rc = 0
+    for name in names:
+        env = dict(os.environ, FFPA_TPU_E2E_INPROC="1", FFPA_TPU_E2E_ONLY=name)
+        proc = subprocess.run(
+            [sys.executable, "-m", "ffpa_attn_tpu.bench", "--e2e"],
+            env=env, capture_output=True, text=True,
+        )
+        emitted = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{") and '"metric"' in ln
+        ]
+        for ln in emitted:
+            print(ln, flush=True)
+        if proc.returncode != 0 or not emitted:
+            rc = 1
+            sys.stderr.write(proc.stderr[-4000:] + "\n")
+            if not emitted:
+                print(
+                    json.dumps({
+                        "metric": f"bench_{name}",
+                        "error": f"subprocess rc={proc.returncode}",
+                    }),
+                    flush=True,
+                )
+    return rc

@@ -2,6 +2,8 @@
 decrease (the analog of the reference's E2E training validation,
 reference README.md:122)."""
 
+import os
+
 import pytest
 
 # Heavy interpret-mode compiles: slow tier (fast tier: pytest -m 'not slow').
@@ -637,3 +639,34 @@ def test_speculative_rejection_sampling():
     )
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     assert bool(jnp.all((s1 >= 0) & (s1 < 64)))
+
+
+def test_e2e_bench_isolation_plumbing():
+    """Each e2e bench runs in its own subprocess (a wedged TPU client in
+    one bench must not poison the rest — the round-4 e2e run lost five
+    benches to a single InvalidArgument cascade). Drive the tiny 'smoke'
+    leg end-to-end through the real subprocess path and check the
+    selection/emission contract."""
+    import json
+    import subprocess
+    import sys
+
+    import pytest
+
+    from ffpa_attn_tpu.cli._e2e import E2E_BENCHES, main
+
+    assert "smoke" in E2E_BENCHES
+    proc = subprocess.run(
+        [sys.executable, "-m", "ffpa_attn_tpu.bench", "--e2e"],
+        env={**os.environ, "FFPA_TPU_E2E_ONLY": "smoke"},
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = [
+        json.loads(ln) for ln in proc.stdout.splitlines()
+        if ln.startswith("{") and "metric" in ln
+    ]
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert len(lines) == 1 and lines[0]["value"] > 0, lines
+
+    with pytest.raises(SystemExit, match="unknown e2e bench"):
+        main(only=["nonexistent-bench"])
