@@ -194,7 +194,15 @@ def run_task(task: TuneTask, mode: str):
         )
     if cfg is None:
         return None
-    key_ = ConfigKey(
+    return make_entry(task_key(task), cfg, ms=ms)
+
+
+def task_key(task: TuneTask):
+    """The store key a task's tuned entry lands under (shared by
+    ``run_task`` and the ``--skip-stored`` resume filter)."""
+    from .store import ConfigKey
+
+    return ConfigKey(
         direction=task.direction,
         dtype=task.dtype,
         headdim=task.d,
@@ -207,7 +215,6 @@ def run_task(task: TuneTask, mode: str):
         gqa=task.gqa or task.mqa,
         group=task.group,
     )
-    return make_entry(key_, cfg, ms=ms)
 
 
 def main(argv=None) -> int:
@@ -251,9 +258,44 @@ def main(argv=None) -> int:
         "entries are merge-written to the store incrementally",
     )
     parser.add_argument("--output-dir", default=None)
+    parser.add_argument(
+        "--skip-stored", action="store_true",
+        help="resume support: drop tasks whose exact store key already "
+        "has a tuned entry (an interrupted sweep re-run measures only "
+        "what it hasn't landed yet)",
+    )
     args = parser.parse_args(argv)
 
     tasks = iter_tasks(args)
+    if args.skip_stored:
+        from dataclasses import asdict
+
+        from .store import _entries_for_device
+
+        # Normalize raw key dicts through ConfigKey so pre-group-schema
+        # entries (no "group" field) still match their task.
+        from .store import ConfigKey
+
+        field_names = set(ConfigKey.__dataclass_fields__)
+        stored = set()
+        for e in _entries_for_device():
+            kd = e.get("key")
+            if not isinstance(kd, dict):
+                continue
+            try:
+                norm = ConfigKey(**{k: v for k, v in kd.items() if k in field_names})
+            except TypeError:
+                continue
+            stored.add(tuple(sorted(norm.to_json().items())))
+        before = len(tasks)
+        tasks = [
+            t for t in tasks
+            if tuple(sorted(task_key(t).to_json().items())) not in stored
+        ]
+        logger.info(
+            "--skip-stored: %d/%d tasks already have entries; %d to run",
+            before - len(tasks), before, len(tasks),
+        )
     logger.info("autotune: %d tasks, mode=%s", len(tasks), args.mode)
 
     if args.isolate_tasks:

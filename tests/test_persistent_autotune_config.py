@@ -305,3 +305,59 @@ def test_merge_canonicalizes_pre_group_schema(store_dir):
     merged = merge_entries([new], [old])
     assert len(merged) == 1
     assert merged[0]["config"]["block_q"] == 128
+
+
+def test_skip_stored_resume_filter(store_dir, monkeypatch):
+    """--skip-stored drops exactly the tasks whose store key already has
+    an entry (incl. pre-group-schema entries with no "group" field), so
+    an interrupted sweep re-run measures only what hasn't landed."""
+    import json
+
+    from ffpa_attn_tpu.autotune import cli as tune_cli
+    from ffpa_attn_tpu.autotune.store import (
+        build_payload, make_entry, sanitize_device_kind,
+    )
+    from ffpa_attn_tpu.ops.config import BlockConfig
+
+    monkeypatch.setattr(
+        "ffpa_attn_tpu.autotune.store.current_device_kind",
+        lambda: sanitize_device_kind("FakeTPU v99"),
+    )
+    args = type("A", (), dict(
+        directions=["fwd"], dtypes=["bfloat16"], headdims=[320, 512],
+        seqlens=[1024], B=1, H=8, full_tasks=False, cross_tasks=False,
+    ))()
+    tasks = tune_cli.iter_tasks(args)
+    assert len(tasks) == 4  # 2 headdims x causal in {False, True}
+
+    # Store an entry for one of them; write a pre-group-schema copy for a
+    # second (group field stripped) to check normalization.
+    cfg = BlockConfig(block_q=256, block_kv=512)
+    entries = [make_entry(tune_cli.task_key(tasks[0]), cfg, ms=1.0)]
+    stripped = make_entry(tune_cli.task_key(tasks[1]), cfg, ms=1.0)
+    stripped["key"] = {
+        k: v for k, v in stripped["key"].items() if k != "group"
+    }
+    payload = build_payload(
+        entries + [stripped], sanitize_device_kind("FakeTPU v99")
+    )
+    path = store_dir / f"{sanitize_device_kind('FakeTPU v99')}.json"
+    path.write_text(json.dumps(payload))
+    clear_lookup_cache()
+
+    captured = {}
+    monkeypatch.setattr(
+        "ffpa_attn_tpu.autotune.engine.run_isolated_autotune",
+        lambda tasks, args: captured.setdefault("tasks", tasks) and [] or [],
+    )
+    rc = tune_cli.main([
+        "--mode", "fast", "--isolate-tasks", "--skip-stored",
+        "--directions", "fwd", "--headdims", "320", "512",
+        "--seqlens", "1024", "--H", "8",
+    ])
+    assert rc == 0
+    remaining = captured["tasks"]
+    assert len(remaining) == 2
+    assert {(t.d, t.causal) for t in remaining} == {
+        (tasks[2].d, tasks[2].causal), (tasks[3].d, tasks[3].causal)
+    }
