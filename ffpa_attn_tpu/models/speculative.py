@@ -242,15 +242,28 @@ def _spec_loop(
             buf, count + n_acc + 1, accepted + n_acc, n_iter + 1,
         )
 
-    # while_loop, not a fixed scan: each iteration emits 1..k_spec+1
-    # tokens, so a good draft finishes in ~iters/(k+1) iterations — the
-    # whole point of speculation is to NOT run one target step per token.
-    # ``iters`` (>= steps) bounds the worst case (0 acceptance).
+    # Fixed-trip scan with a live-gate cond, NOT lax.while_loop. The
+    # semantics are while-like: each live iteration emits 1..k_spec+1
+    # tokens, so a good draft is DONE after ~iters/(k+1) live iterations
+    # and every remaining iteration takes the no-op cond branch (runtime
+    # skips the untaken branch — microseconds, no kernel launches, no
+    # cache copies via input/output aliasing). ``iters`` (>= steps)
+    # bounds the worst case (0 acceptance). A genuine while_loop wedged
+    # NONDETERMINISTICALLY on the remote TPU backend with this body
+    # (round-5: identical programs alternated between 4 s and >28 min;
+    # plain scans of the same decode/verify kernels never wedged) — the
+    # bounded scan sidesteps that entire class while keeping the
+    # fewer-target-calls property speculation exists for.
     init = (
         cache_t, cache_d, start, first, key, buf,
         jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
-    out = jax.lax.while_loop(lambda c: c[6] < iters, outer, init)
+
+    def step(carry, _):
+        live = carry[6] < iters
+        return jax.lax.cond(live, outer, lambda c: c, carry), ()
+
+    out, _ = jax.lax.scan(step, init, None, length=iters)
     buf, count, accepted, n_iter = out[5], out[6], out[7], out[8]
     return buf, count, accepted, n_iter
 
