@@ -24,6 +24,11 @@ step() {
   return 0
 }
 
+# Fresh e2e with per-bench subprocess isolation (57fc33d) + the scan-based
+# speculative loop (897cba5): step 01 predates both, so its paged/spec rows
+# are one InvalidArgument cascade, not measurements.
+step 09 bench-e2e-iso 4500 python -m ffpa_attn_tpu.bench --e2e
+
 step 05b tune-bwd-variants-resume 14400 env FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=700 \
   python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks --full-tasks \
   --skip-stored --directions bwd --headdims 320 512 640 768 1024 \
@@ -38,5 +43,19 @@ step 06 tune-fwd-variants 18000 env FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=500 \
 step 07 tune-16k-variants 10800 env FFPA_TPU_AUTOTUNE_TASK_BUDGET_S=900 \
   python -m ffpa_attn_tpu.autotune --mode fast --isolate-tasks --full-tasks \
   --skip-stored --directions fwd bwd --headdims 320 512 1024 --seqlens 16384 --H 32
+
+# Post-sweep regens: tables whose tuned winners the sweeps above may have
+# moved, plus the two docs whose stale rows predate the round-5 decode
+# composite (bench_v5e_d512_n8192_f16.md decode row, bench_v5e_decode.md).
+step 10 bench-decode 5400 python -m ffpa_attn_tpu.bench \
+  --cases decode decode-gqa --directions fwd bwd --dtypes bfloat16 float16 \
+  --output docs/bench_v5e_decode.md
+step 11 bench-f16 7200 python -m ffpa_attn_tpu.bench \
+  --cases self-attn cross-attn decode causal non-aligned \
+  --directions fwd bwd --dtypes float16 \
+  --output docs/bench_v5e_d512_n8192_f16.md
+step 12 bench-headline 7200 python -m ffpa_attn_tpu.bench \
+  --directions fwd bwd --dtypes bfloat16 \
+  --output docs/bench_v5e_d512_n8192.md
 
 echo "== r5 campaign part 2 complete $(date +%H:%M:%S)"
