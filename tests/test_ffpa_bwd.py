@@ -770,3 +770,47 @@ def test_bwd_fp8_ds_ignored_without_optin(monkeypatch):
             np.asarray(a, np.float32), np.asarray(bb, np.float32),
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("mode", ["hilo", "psplit", "plain"])
+def test_f16_pv_mode_knob(monkeypatch, mode):
+    """FFPA_TPU_F16_PV_MODE selects the fp16 dV scheme at trace time.
+
+    hilo (default) and psplit must hold the 1e-2 gradient contract at
+    reference-tolerance scale (N=256, reference tests/test_ffpa_bwd.py:38-46);
+    plain drops both correction matmuls and rides the contract boundary even
+    here (docs/design.md "Round-5 contract table" — tail elements land just
+    over 1e-2), so for it this pins only the knob's plumbing (env ->
+    flash_bwd dV accumulate: finite grads, right dtypes).
+    """
+    monkeypatch.setenv("FFPA_TPU_F16_PV_MODE", mode)
+    dtype = jnp.float16
+    q, k, v, do = _make(1, 2, 2, 256, 256, 512, dtype)
+    ref = reference_attention(q, k, v, is_causal=True)
+    got, grads = None, None
+    out, vjp = jax.vjp(lambda *a: ffpa_attn_func(*a, is_causal=True), q, k, v)
+    grads = vjp(do)
+    _assert_close(out, ref, dtype, f"out[{mode}]")
+    rout, rvjp = jax.vjp(
+        lambda *a: reference_attention(*a, is_causal=True), q, k, v
+    )
+    rgrads = rvjp(do.astype(rout.dtype))
+    for name, g, rg in zip(("dq", "dk", "dv"), grads, rgrads):
+        assert g.dtype == dtype, name
+        assert np.all(np.isfinite(np.asarray(g, np.float32))), name
+        if mode == "plain" and name == "dv":
+            # boundary mode: bound the excursion instead (≤3x tolerance)
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(rg, np.float32),
+                atol=3e-2, rtol=3e-2, err_msg=f"{name}[{mode}]",
+            )
+        else:
+            _assert_close(g, rg, dtype, f"{name}[{mode}]")
+
+
+def test_f16_pv_mode_invalid(monkeypatch):
+    monkeypatch.setenv("FFPA_TPU_F16_PV_MODE", "bogus")
+    from ffpa_attn_tpu.env import ENV
+
+    with pytest.raises(ValueError, match="F16_PV_MODE"):
+        ENV.f16_pv_mode()
