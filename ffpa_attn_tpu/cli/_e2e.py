@@ -378,13 +378,28 @@ def main(argv=None, only=None) -> int:
             rc |= run_one(name)
         return rc
 
+    # Per-leg wall cap: one wedged device program (the round-5 speculative
+    # while_loop class) must not eat every later bench's budget the way a
+    # poisoned client used to.
+    leg_timeout = int(os.environ.get("FFPA_TPU_E2E_LEG_TIMEOUT_S") or 1200)
     rc = 0
     for name in names:
         env = dict(os.environ, FFPA_TPU_E2E_INPROC="1", FFPA_TPU_E2E_ONLY=name)
-        proc = subprocess.run(
-            [sys.executable, "-m", "ffpa_attn_tpu.bench", "--e2e"],
-            env=env, capture_output=True, text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "ffpa_attn_tpu.bench", "--e2e"],
+                env=env, capture_output=True, text=True, timeout=leg_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            rc = 1
+            print(
+                json.dumps({
+                    "metric": f"bench_{name}",
+                    "error": f"timeout after {leg_timeout}s",
+                }),
+                flush=True,
+            )
+            continue
         emitted = [
             ln for ln in proc.stdout.splitlines()
             if ln.startswith("{") and '"metric"' in ln
