@@ -268,13 +268,9 @@ def main(argv=None) -> int:
 
     tasks = iter_tasks(args)
     if args.skip_stored:
-        from dataclasses import asdict
-
-        from .store import _entries_for_device
-
         # Normalize raw key dicts through ConfigKey so pre-group-schema
         # entries (no "group" field) still match their task.
-        from .store import ConfigKey
+        from .store import ConfigKey, _entries_for_device
 
         field_names = set(ConfigKey.__dataclass_fields__)
         stored = set()

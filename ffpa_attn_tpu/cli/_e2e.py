@@ -369,7 +369,9 @@ def main(argv=None, only=None) -> int:
         sel = [s.strip() for s in (sel.split(",") if isinstance(sel, str) else sel)]
         unknown = [s for s in sel if s not in E2E_BENCHES]
         if unknown:
-            raise SystemExit(f"unknown e2e bench(es) {unknown}; have {names}")
+            raise SystemExit(
+                f"unknown e2e bench(es) {unknown}; have {list(E2E_BENCHES)}"
+            )
         names = sel
 
     if os.environ.get("FFPA_TPU_E2E_INPROC") == "1":

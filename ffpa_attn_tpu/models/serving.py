@@ -141,7 +141,9 @@ def serve_batch(
     # 4-layer model = seconds of pure launch overhead — the round-4
     # serving probe's 5.9 s step-count-independent floor,
     # tools/r4_logs/21.probe-serving.log).
-    tok, cache = _prefill_jit(params, packed, cu, batch, cfg, max_seqlen, max_len)
+    tok, cache = _prefill_packed_jit(
+        params, packed, cu, batch, cfg, max_seqlen, max_len
+    )
 
     if steps == 1:
         return tok[:, None]
@@ -157,7 +159,7 @@ def serve_batch(
 @functools.partial(
     jax.jit, static_argnames=("batch", "cfg", "max_seqlen", "max_len")
 )
-def _prefill_jit(params, packed, cu, batch: int, cfg: ModelConfig,
+def _prefill_packed_jit(params, packed, cu, batch: int, cfg: ModelConfig,
                  max_seqlen: int, max_len: int):
     """Cache alloc + packed varlen prefill + greedy first token as ONE
     compiled program (serving's fixed cost is one dispatch, not ~10/layer)."""
@@ -318,7 +320,7 @@ def _prefill_paged_jit(params, packed, cu, lens, batch: int, cfg: ModelConfig,
                        max_seqlen: int, max_len: int, page_size: int,
                        quantized: bool):
     """Dense prefill + per-layer page-pool fill + first token as ONE
-    compiled program (same dispatch-amortization as _prefill_jit)."""
+    compiled program (same dispatch-amortization as _prefill_packed_jit)."""
     from ..ops.paged import PagedKVCache, fill_from_prefill
 
     dense = init_kv_cache(cfg, batch, max_seqlen)

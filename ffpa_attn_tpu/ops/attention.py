@@ -121,6 +121,7 @@ def ffpa_attention_core(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
         softcap=static.softcap,
         window=static.window,
         alibi_slopes=alibi,
+        f16_boundary=was_f16,
     )
     if sinks is not None:
         o, _ = apply_sinks(o, lse, sinks)
@@ -256,6 +257,7 @@ def _core_fwd(static: StaticArgs, q, k, v, bias, alibi, sinks, seed):
         config=static.fwd_config,
         softcap=static.softcap,
         window=static.window,
+        f16_boundary=was_f16,
     )
     if 0 < m < hq:
         # Partial head residency: heads [0, m) emit S, the rest don't. Two

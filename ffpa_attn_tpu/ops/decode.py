@@ -126,8 +126,11 @@ def _decode_kernel(
             # Decode S-residency (the dense from-S backward's analog,
             # flash_bwd.py): the masked post-bias/cap scores are O(16*Nkv)
             # — a ~1 MB write that saves the backward its whole K re-read
-            # for the score recompute. Skipped tiles never write; the
-            # backward re-applies the band mask to zero their columns.
+            # for the score recompute. Band-skipped steps don't STORE, but
+            # Pallas still copies their (stale-VMEM) output block to HBM —
+            # the backward's band re-mask keeps that correct, and the emit
+            # gate (_decode_core_fwd) disables residency under sliding
+            # windows where that copy-back stream would be O(Nkv).
             s_ref[0, 0] = s
 
         m_prev = m_scr[...]
@@ -372,16 +375,30 @@ _DECODE_SCORES_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _decode_core_fwd(scale, is_causal, softcap, window, q, k, v, bias, sinks):
+    from ..env import ENV
+
     b, hq, nq, d = q.shape
     hkv = k.shape[1]
     group = hq // hkv
     bq = cdiv(group * nq, _DECODE_Q_TILE) * _DECODE_Q_TILE
+    # Budget is per ATTENTION CALL; an L-layer model under jax.grad keeps
+    # every layer's residual live from forward to backward, so scale by the
+    # same assumed-layers multiplier the dense S-residency gate uses.
+    budget = _DECODE_SCORES_MAX_BYTES // max(
+        1, ENV.scores_auto_assumed_layers()
+    )
     emit_scores = (
-        b * hkv * bq * k.shape[2] * 4 <= _DECODE_SCORES_MAX_BYTES
+        b * hkv * bq * k.shape[2] * 4 <= budget
         # The from-S tanh chain factor is recoverable only when the saved
         # S carries no additive terms (same rule as the dense S-residency
         # gate, ops/attention.py:_resident_head_count).
         and not (softcap > 0.0 and bias is not None)
+        # Sliding windows: the kernel's kv-index clamp makes compute O(W),
+        # but a scores OUTPUT block is copied back to HBM for every grid
+        # step whether written or not — an O(Nkv_pad) stream that defeats
+        # the windowed-decode point. Recompute-from-(q,k,lse) instead.
+        and int(window[0]) < 0
+        and int(window[1]) < 0
     )
     scores = None
     if emit_scores:

@@ -27,8 +27,14 @@ def pick_forward_config(
     dropout: bool = False,
     gqa: bool = False,
     group: int = 0,
+    f16: bool = False,
 ) -> BlockConfig:
-    """Tuned-config lookup, falling back to the heuristic default."""
+    """Tuned-config lookup, falling back to the heuristic default.
+
+    ``f16``: the PRIMAL dtype is float16 even though ``dtype`` (the compute
+    dtype the kernels see) is bfloat16 — the store query must say float16
+    so float16-keyed tuned entries are reachable (the lookup still accepts
+    bfloat16 entries for float16 queries, store.py policy)."""
     from ..autotune.store import lookup_tuned_config
 
     cfg = lookup_tuned_config(
@@ -37,7 +43,7 @@ def pick_forward_config(
         dv=dv,
         nq=nq,
         nkv=nkv,
-        dtype=str(jnp.dtype(dtype)),
+        dtype="float16" if f16 else str(jnp.dtype(dtype)),
         causal=causal,
         has_bias=has_bias,
         dropout=dropout,
@@ -85,12 +91,23 @@ def pick_backward_config(
     dropout: bool = False,
     gqa: bool = False,
     group: int = 0,
+    f16: bool = False,
 ) -> BlockConfig:
+    # ``f16``: float16 PRIMALS under a bf16 compute dtype (the custom_vjp
+    # casts before the kernels run, ops/attention.py:_to_compute_dtype).
+    # Three things hang off it: the store query dtype (float16-keyed
+    # entries were unreachable when the query said bfloat16), the VMEM
+    # model's hi+lo dV tax (charged by autotune for f16 tasks — round-5
+    # fix: charged at runtime dispatch too), and the fp8-dS proposal
+    # (flash_bwd force-narrows it back to 16 for f16 cotangents; don't
+    # propose what cannot serve).
     from ..autotune.store import lookup_tuned_config
 
     from dataclasses import replace
 
     from ..env import ENV
+
+    f16 = f16 or jnp.dtype(dtype) == jnp.float16
 
     def propose_fp8(cfg: BlockConfig) -> BlockConfig:
         # FFPA_TPU_ALLOW_FP8_DS is an opt-in PROPOSAL here, not just the
@@ -110,6 +127,7 @@ def pick_backward_config(
             cfg.ds_store_bits == 16
             and ENV.allow_fp8_ds()
             and jnp.dtype(dtype) == jnp.bfloat16
+            and not f16
             and not has_bias
             and nq * nkv >= 4096 * 4096
         ):
@@ -122,7 +140,7 @@ def pick_backward_config(
         dv=dv,
         nq=nq,
         nkv=nkv,
-        dtype=str(jnp.dtype(dtype)),
+        dtype="float16" if f16 else str(jnp.dtype(dtype)),
         causal=causal,
         has_bias=has_bias,
         dropout=dropout,
@@ -162,9 +180,8 @@ def pick_backward_config(
     # dkdv blocks must fit with the handoff dS output (the common path);
     # _fit_dkdv_for_ds re-checks at launch time anyway. fp16 runs the
     # hi+lo dV split, whose extra live tiles the model must charge.
-    is_f16 = jnp.dtype(dtype) == jnp.float16
     dkdv = first_fit(
-        dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True, precise_pv=is_f16
+        dkdv_prefs, bwd_dkdv_vmem_bytes, emit_ds=True, precise_pv=f16
     )
     dq = first_fit(dq_prefs, bwd_dq_vmem_bytes)
     return propose_fp8(

@@ -56,11 +56,10 @@ def _dv_accumulate(dv_scr, p_dropped, do, precise_pv: bool, do_lo=None):
     alone leaves a ~7e-5 violation tail at N=2048; with the dO split the
     error drops to ~1e-5, beating even the reference's native-fp16 path)."""
     if precise_pv:
-        # FFPA_TPU_F16_PV_MODE selects the scheme at TRACE time (env.py
-        # f16_pv_mode): 'hilo' = both splits (3 matmuls), 'psplit' = P
-        # split only (2), 'plain' handled by the caller (precise_pv off).
-        from ..env import ENV
-
+        # FFPA_TPU_F16_PV_MODE is resolved ONCE at the entry point
+        # (flash_attention_backward): 'plain' arrives as precise_pv=False,
+        # 'psplit' as do_lo=None, 'hilo' as do_lo set — no second ENV read
+        # here, so the scheme cannot diverge between decision sites.
         p_hi = p_dropped.astype(do.dtype)
         p_lo = (p_dropped - p_hi.astype(jnp.float32)).astype(do.dtype)
         acc = lax.dot_general(
@@ -70,7 +69,7 @@ def _dv_accumulate(dv_scr, p_dropped, do, precise_pv: bool, do_lo=None):
             p_lo, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if do_lo is not None and ENV.f16_pv_mode() == "hilo":
+        if do_lo is not None:
             acc += lax.dot_general(
                 p_hi, do_lo, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -832,6 +831,10 @@ def flash_attention_backward(
             causal=is_causal, has_bias=bias is not None,
             dropout=dropout_p > 0.0, gqa=group > 1,
             group=group if group > 1 else 0,
+            # q is already the bf16 COMPUTE dtype here; the f16 cotangent
+            # is the surviving primal-dtype signal (drives the store query
+            # dtype + the hi+lo dV VMEM tax — see pick_backward_config).
+            f16=do.dtype == jnp.float16,
         )
     config = config.clamp(nq, nkv)
 

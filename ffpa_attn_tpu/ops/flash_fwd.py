@@ -269,6 +269,7 @@ def flash_attention_forward(
     softcap: float = 0.0,
     window: tuple = (-1, -1),
     alibi_slopes: Optional[jnp.ndarray] = None,
+    f16_boundary: bool = False,
 ):
     """Launch the forward kernel.
 
@@ -310,6 +311,9 @@ def flash_attention_forward(
             causal=is_causal, has_bias=bias is not None,
             dropout=dropout_p > 0.0, gqa=group > 1,
             group=group if group > 1 else 0,
+            # float16 primals compute in bf16; the flag keeps the tuned
+            # store query saying float16 (dispatch.pick_forward_config).
+            f16=f16_boundary,
         )
     config = config.clamp(nq, nkv)
     if return_scores:

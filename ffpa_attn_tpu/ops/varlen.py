@@ -859,7 +859,13 @@ def ffpa_varlen_attention(
 
     if q.dtype == jnp.float16:
         # No native f16 on TPU/Mosaic: bf16 compute, fp32 accumulation
-        # (same policy as the dense entry).
+        # (same policy as the dense entry). Resolve tuned blocks BEFORE the
+        # recursion: the recursive call sees bf16 and would query the store
+        # under the wrong dtype (float16-keyed entries unreachable).
+        if block_q is None or block_kv is None:
+            cfg16 = _varlen_tuned_blocks(d, v.shape[-1], tq, tk, q.dtype)
+            block_q = block_q or cfg16[0]
+            block_kv = block_kv or cfg16[1]
         out = ffpa_varlen_attention(
             q.astype(jnp.bfloat16),
             k.astype(jnp.bfloat16),

@@ -361,3 +361,43 @@ def test_skip_stored_resume_filter(store_dir, monkeypatch):
     assert {(t.d, t.causal) for t in remaining} == {
         (tasks[2].d, tasks[2].causal), (tasks[3].d, tasks[3].causal)
     }
+
+
+def test_f16_primals_reach_float16_entries(store_dir):
+    """Round-5 dispatch fix: fp16 user calls compute in bf16 (Mosaic has no
+    f16), so the runtime dispatch used to query the store with dtype
+    'bfloat16' — float16-keyed tuned entries were unreachable. The f16
+    flag threads the PRIMAL dtype through pick_forward_config /
+    pick_backward_config."""
+    from ffpa_attn_tpu.autotune.store import current_device_kind
+    from ffpa_attn_tpu.ops.dispatch import (
+        pick_backward_config,
+        pick_forward_config,
+    )
+
+    # Dispatch queries the CURRENT device kind — write the entries there.
+    # Sentinel block shapes no heuristic would pick at these keys.
+    write_config_file(
+        [
+            make_entry(
+                _key(dtype="float16"), BlockConfig(block_q=128, block_kv=256)
+            ),
+            make_entry(
+                _key(direction="bwd", dtype="float16"),
+                BlockConfig(block_q_dkdv=128, block_kv_dkdv=256),
+            ),
+        ],
+        device_kind=current_device_kind(),
+    )
+    import jax.numpy as jnp
+
+    common = dict(
+        d=512, dv=512, nq=8192, nkv=8192, dtype=jnp.bfloat16,
+        causal=False, has_bias=False,
+    )
+    # compute dtype bf16 + f16 flag -> the float16 entry
+    assert pick_forward_config(**common, f16=True).block_q == 128
+    assert pick_backward_config(**common, f16=True).block_q_dkdv == 128
+    # without the flag the float16 entries must NOT serve bf16 runs
+    assert pick_forward_config(**common).block_q != 128
+    assert pick_backward_config(**common).block_q_dkdv != 128
