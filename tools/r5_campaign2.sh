@@ -57,5 +57,8 @@ step 11 bench-f16 7200 python -m ffpa_attn_tpu.bench \
 step 12 bench-headline 7200 python -m ffpa_attn_tpu.bench \
   --directions fwd bwd --dtypes bfloat16 \
   --output docs/bench_v5e_d512_n8192.md
+step 13 bench-16k 5400 python -m ffpa_attn_tpu.bench --N 16384 \
+  --cases self-attn causal gqa --directions fwd bwd \
+  --output docs/bench_v5e_n16384.md --plot docs/ffpa_TPU_v5_lite_n16384.png
 
 echo "== r5 campaign part 2 complete $(date +%H:%M:%S)"
